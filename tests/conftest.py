@@ -1,0 +1,17 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+TPU meshes are SPMD-simulable on CPU (SURVEY.md §4); every test runs against
+8 virtual CPU devices so sharding paths are exercised without hardware.
+Must run before jax initializes its backends.
+"""
+import os
+
+os.environ['JAX_PLATFORMS'] = 'cpu'
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_enable_x64', False)
