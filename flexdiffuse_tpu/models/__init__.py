@@ -1,0 +1,17 @@
+"""Model zoo: CLIP text/vision, SD UNet, VAE — all Flax linen, NHWC, bf16-ready."""
+from flexdiffuse_tpu.models.clip import CLIPTextModel, CLIPVisionModel
+from flexdiffuse_tpu.models.configs import (CLIP_VIT_L14_TEXT,
+                                            CLIP_VIT_L14_VISION, SD14_UNET,
+                                            SD14_VAE, TINY_TEXT, TINY_UNET,
+                                            TINY_VAE, TINY_VISION,
+                                            CLIPTextConfig, CLIPVisionConfig,
+                                            UNetConfig, VAEConfig)
+from flexdiffuse_tpu.models.unet import UNet2DCondition
+from flexdiffuse_tpu.models.vae import AutoencoderKL, sample_latents
+
+__all__ = [
+    'CLIPTextModel', 'CLIPVisionModel', 'UNet2DCondition', 'AutoencoderKL',
+    'sample_latents', 'CLIPTextConfig', 'CLIPVisionConfig', 'UNetConfig',
+    'VAEConfig', 'TINY_TEXT', 'TINY_VISION', 'TINY_UNET', 'TINY_VAE',
+    'SD14_UNET', 'SD14_VAE', 'CLIP_VIT_L14_TEXT', 'CLIP_VIT_L14_VISION'
+]

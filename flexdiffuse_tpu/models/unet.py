@@ -1,0 +1,249 @@
+"""SD v1.x conditional UNet in Flax linen — the denoise-loop workhorse.
+
+TPU-native design decisions (vs. the torch ``UNet2DConditionModel`` the
+reference drives through diffusers at pipeline/guide.py:56):
+
+* **NHWC layout** end to end — TPU convs tile natively on channels-last; the
+  pipeline transposes once at the latent boundary, never per-op.
+* **bf16 compute, fp32 params** (``dtype`` vs ``param_dtype``): matmuls/convs
+  hit the MXU in bf16; GroupNorm statistics and softmax run in fp32.
+* Self-attention at the 64×64 level (S=4096) routes through the Pallas flash
+  kernel via :func:`flexdiffuse_tpu.ops.attention.attention`; cross-attention
+  (kv = 77 tokens) stays on the fused XLA path. Attention *slicing*
+  (pipeline/flex.py:85-110) is obsolete here — flash attention never builds
+  the score matrix.
+* Static shapes + pure apply: the whole UNet jits once inside the sampling
+  ``lax.scan``.
+
+Geometry matches ``CompVis/stable-diffusion-v1-4``'s UNet (4 levels at
+320/640/1280/1280, 2 resnets per level, single-depth transformer blocks with
+8 heads, cross-attn dim 768) so HF checkpoints convert by pure renaming.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from flexdiffuse_tpu.models.configs import UNetConfig
+from flexdiffuse_tpu.ops.attention import attention
+
+Array = jax.Array
+
+
+def timestep_embedding(t: Array, dim: int, max_period: float = 10000.0,
+                       flip_sin_to_cos: bool = True,
+                       shift: float = 0.0) -> Array:
+    """Sinusoidal timestep features ``[B] -> [B, dim]`` (SD: cos|sin order)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) *
+                    jnp.arange(half, dtype=jnp.float32) / (half - shift))
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos],
+                          axis=-1)
+    if dim % 2:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class ResnetBlock(nn.Module):
+    out_channels: int
+    norm_groups: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, temb: Array) -> Array:
+        in_ch = x.shape[-1]
+        gn = lambda name: nn.GroupNorm(self.norm_groups, epsilon=1e-5,
+                                       name=name, dtype=jnp.float32)
+        conv = lambda name: nn.Conv(self.out_channels, (3, 3), padding=1,
+                                    name=name, dtype=self.dtype)
+        h = nn.silu(gn('norm1')(x)).astype(self.dtype)
+        h = conv('conv1')(h)
+        t = nn.Dense(self.out_channels, name='time_emb_proj',
+                     dtype=self.dtype)(nn.silu(temb).astype(self.dtype))
+        h = h + t[:, None, None, :]
+        h = nn.silu(gn('norm2')(h)).astype(self.dtype)
+        h = conv('conv2')(h)
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), name='conv_shortcut',
+                        dtype=self.dtype)(x.astype(self.dtype))
+        return x + h
+
+
+class CrossAttention(nn.Module):
+    query_dim: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, context: Optional[Array]) -> Array:
+        ctx = x if context is None else context.astype(self.dtype)
+        d = self.query_dim
+        h = self.num_heads
+        hd = d // h
+        q = nn.Dense(d, use_bias=False, name='to_q', dtype=self.dtype)(x)
+        k = nn.Dense(d, use_bias=False, name='to_k', dtype=self.dtype)(ctx)
+        v = nn.Dense(d, use_bias=False, name='to_v', dtype=self.dtype)(ctx)
+        b, sq, _ = q.shape
+        skv = k.shape[1]
+        split = lambda t, s: t.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+        out = attention(split(q, sq), split(k, skv), split(v, skv),
+                        scale=hd**-0.5)
+        out = out.transpose(0, 2, 1, 3).reshape(b, sq, d)
+        return nn.Dense(d, name='to_out', dtype=self.dtype)(out)
+
+
+class FeedForwardGEGLU(nn.Module):
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        inner = self.dim * 4
+        proj = nn.Dense(inner * 2, name='proj_in', dtype=self.dtype)(x)
+        gate, val = jnp.split(proj, 2, axis=-1)
+        # diffusers GEGLU order: (value, gate) with gelu on the gate half.
+        x = gate * nn.gelu(val, approximate=False)
+        return nn.Dense(self.dim, name='proj_out', dtype=self.dtype)(x)
+
+
+class BasicTransformerBlock(nn.Module):
+    dim: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, context: Array) -> Array:
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, name=name,
+                                       dtype=self.dtype)
+        x = x + CrossAttention(self.dim, self.num_heads, name='attn1',
+                               dtype=self.dtype)(ln('norm1')(x), None)
+        x = x + CrossAttention(self.dim, self.num_heads, name='attn2',
+                               dtype=self.dtype)(ln('norm2')(x), context)
+        x = x + FeedForwardGEGLU(self.dim, name='ff',
+                                 dtype=self.dtype)(ln('norm3')(x))
+        return x
+
+
+class Transformer2D(nn.Module):
+    channels: int
+    num_heads: int
+    depth: int
+    norm_groups: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, context: Array) -> Array:
+        b, hh, ww, c = x.shape
+        residual = x
+        h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, name='norm',
+                         dtype=jnp.float32)(x).astype(self.dtype)
+        h = nn.Conv(self.channels, (1, 1), name='proj_in',
+                    dtype=self.dtype)(h)
+        h = h.reshape(b, hh * ww, c)
+        for i in range(self.depth):
+            h = BasicTransformerBlock(self.channels, self.num_heads,
+                                      name=f'blocks_{i}',
+                                      dtype=self.dtype)(h, context)
+        h = h.reshape(b, hh, ww, c)
+        h = nn.Conv(self.channels, (1, 1), name='proj_out',
+                    dtype=self.dtype)(h)
+        return h + residual
+
+
+class Downsample(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.Conv(self.channels, (3, 3), strides=2, padding=1,
+                       name='conv', dtype=self.dtype)(x)
+
+
+class Upsample(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method='nearest')
+        return nn.Conv(self.channels, (3, 3), padding=1, name='conv',
+                       dtype=self.dtype)(x)
+
+
+class UNet2DCondition(nn.Module):
+    """``(latents [B,H,W,4], t [B], context [B,T,768]) -> eps [B,H,W,4]``."""
+
+    config: UNetConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, latents: Array, t: Array, context: Array) -> Array:
+        cfg = self.config
+        ch0 = cfg.block_channels[0]
+        temb_dim = ch0 * 4
+
+        temb = timestep_embedding(t, ch0)
+        temb = nn.Dense(temb_dim, name='time_embed_1',
+                        dtype=self.dtype)(temb.astype(self.dtype))
+        temb = nn.Dense(temb_dim, name='time_embed_2',
+                        dtype=self.dtype)(nn.silu(temb))
+
+        x = latents.astype(self.dtype)
+        h = nn.Conv(ch0, (3, 3), padding=1, name='conv_in',
+                    dtype=self.dtype)(x)
+        skips = [h]
+
+        num_levels = len(cfg.block_channels)
+        for i, ch in enumerate(cfg.block_channels):
+            for j in range(cfg.layers_per_block):
+                h = ResnetBlock(ch, cfg.norm_groups, dtype=self.dtype,
+                                name=f'down_{i}_res_{j}')(h, temb)
+                if cfg.attention_levels[i]:
+                    h = Transformer2D(ch, cfg.num_heads,
+                                      cfg.transformer_depth, cfg.norm_groups,
+                                      dtype=self.dtype,
+                                      name=f'down_{i}_attn_{j}')(h, context)
+                skips.append(h)
+            if i != num_levels - 1:
+                h = Downsample(ch, dtype=self.dtype,
+                               name=f'down_{i}_downsample')(h)
+                skips.append(h)
+
+        mid_ch = cfg.block_channels[-1]
+        h = ResnetBlock(mid_ch, cfg.norm_groups, dtype=self.dtype,
+                        name='mid_res_0')(h, temb)
+        h = Transformer2D(mid_ch, cfg.num_heads, cfg.transformer_depth,
+                          cfg.norm_groups, dtype=self.dtype,
+                          name='mid_attn')(h, context)
+        h = ResnetBlock(mid_ch, cfg.norm_groups, dtype=self.dtype,
+                        name='mid_res_1')(h, temb)
+
+        for i, ch in enumerate(reversed(cfg.block_channels)):
+            level = num_levels - 1 - i
+            for j in range(cfg.layers_per_block + 1):
+                h = jnp.concatenate([h, skips.pop()], axis=-1)
+                h = ResnetBlock(ch, cfg.norm_groups, dtype=self.dtype,
+                                name=f'up_{i}_res_{j}')(h, temb)
+                if cfg.attention_levels[level]:
+                    h = Transformer2D(ch, cfg.num_heads,
+                                      cfg.transformer_depth, cfg.norm_groups,
+                                      dtype=self.dtype,
+                                      name=f'up_{i}_attn_{j}')(h, context)
+            if i != num_levels - 1:
+                h = Upsample(ch, dtype=self.dtype,
+                             name=f'up_{i}_upsample')(h)
+
+        h = nn.silu(
+            nn.GroupNorm(cfg.norm_groups, epsilon=1e-5, name='norm_out',
+                         dtype=jnp.float32)(h))
+        return nn.Conv(cfg.out_channels, (3, 3), padding=1, name='conv_out',
+                       dtype=self.dtype)(h.astype(self.dtype)).astype(
+                           jnp.float32)

@@ -1,0 +1,61 @@
+"""Attention dispatch: XLA fused path or Pallas flash-attention kernel.
+
+The reference's memory knob is diffusers attention *slicing*
+(pipeline/flex.py:85-110) — splitting softmax(QKᵀ)V into sequential slices to
+bound peak memory. On TPU that knob is obsolete: the Pallas flash-attention
+kernel (ops/flash_attention.py) streams K/V blocks through VMEM and never
+materializes the [S, S] score matrix, so it is both the memory fix and the
+bandwidth fix. The XLA einsum path remains for tiny sequences (CLIP's 77/257
+tokens, low-res UNet levels) where kernel launch overhead outweighs savings
+and XLA's own fusion is already fine.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# Below this q-sequence length the XLA path wins (empirically; the flash
+# kernel pays grid setup + padding costs that only amortize at scale).
+FLASH_MIN_SEQ = 1024
+
+_BACKEND = 'auto'  # 'auto' | 'xla' | 'flash'
+
+
+def set_backend(name: str) -> None:
+    """Force the attention backend globally ('auto', 'xla', 'flash')."""
+    global _BACKEND
+    if name not in ('auto', 'xla', 'flash'):
+        raise ValueError(f'unknown attention backend {name!r}')
+    _BACKEND = name
+
+
+def xla_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
+    """Reference attention: softmax in fp32, inputs any dtype.
+
+    Shapes ``[B, H, S, D]`` for q and ``[B, H, Skv, D]`` for k/v.
+    """
+    logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum('bhqk,bhkd->bhqd', probs, v)
+
+
+def attention(q: Array, k: Array, v: Array,
+              scale: Optional[float] = None) -> Array:
+    """Multi-head attention ``[B, H, Sq, D] × [B, H, Skv, D] -> [B, H, Sq, D]``."""
+    if scale is None:
+        scale = q.shape[-1]**-0.5
+    backend = _BACKEND
+    if backend == 'auto':
+        on_tpu = jax.default_backend() == 'tpu'
+        backend = ('flash' if on_tpu and q.shape[-2] >= FLASH_MIN_SEQ
+                   and k.shape[-2] >= FLASH_MIN_SEQ else 'xla')
+    if backend == 'flash':
+        from flexdiffuse_tpu.ops.flash_attention import flash_attention
+        return flash_attention(q, k, v, scale)
+    return xla_attention(q, k, v, scale)

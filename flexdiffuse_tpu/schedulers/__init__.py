@@ -1,0 +1,74 @@
+"""Schedulers — pure-function DDIM / PLMS / K-LMS with scan-friendly state.
+
+Usage::
+
+    sch = schedulers.make('pndm', steps=30)
+    state = schedulers.init_state(sch, latents.shape, latents.dtype)
+    x = schedulers.scale_model_input(sch, latents, i)
+    state, latents = schedulers.step(sch, state, eps, i, counter, latents,
+                                     key, eta)
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from flexdiffuse_tpu.schedulers import ddim as _ddim
+from flexdiffuse_tpu.schedulers import lms as _lms
+from flexdiffuse_tpu.schedulers import pndm as _pndm
+from flexdiffuse_tpu.schedulers.base import (Schedule, SchedulerConfig,
+                                             alphas_cumprod,
+                                             ddim_like_add_noise,
+                                             init_timestep_info, make_betas)
+
+_KINDS = {'ddim': _ddim, 'pndm': _pndm, 'lms': _lms}
+
+Array = jax.Array
+
+
+def make(kind: str, steps: int,
+         config: Optional[SchedulerConfig] = None) -> Schedule:
+    if kind not in _KINDS:
+        raise ValueError(f'unknown scheduler {kind!r}; one of {list(_KINDS)}')
+    config = config or SchedulerConfig(kind=kind)
+    return _KINDS[kind].make_schedule(config, steps)
+
+
+def init_state(schedule: Schedule, latent_shape, dtype) -> tuple:
+    return _KINDS[schedule.kind].init_state(schedule, latent_shape, dtype)
+
+
+def scale_model_input(schedule: Schedule, sample: Array, i: Array) -> Array:
+    if schedule.kind == 'lms':
+        return _lms.scale_model_input(schedule, sample, i)
+    return sample
+
+
+def step(schedule: Schedule, state: tuple, eps: Array, i: Array,
+         counter: Array, sample: Array, key=None, eta=0.0):
+    eta = jnp.asarray(eta, jnp.float32)
+    return _KINDS[schedule.kind].step(schedule, state, eps, i, counter,
+                                      sample, key, eta)
+
+
+def add_noise(schedule: Schedule, sample: Array, noise: Array,
+              init_timestep: int) -> Array:
+    """Noise init latents for img2img (dispatches on scheduler kind).
+
+    For LMS the reference passes the *index* ``steps - init_timestep`` into
+    the sigma table (flex.py:200-204); DDIM/PNDM use the timestep *value*
+    ``timesteps[-init_timestep]`` (flex.py:206-209).
+    """
+    if schedule.kind == 'lms':
+        return _lms.add_noise(schedule, sample, noise,
+                              schedule.num_steps - init_timestep)
+    t = schedule.timesteps[-init_timestep]
+    return ddim_like_add_noise(schedule, sample, noise, t)
+
+
+__all__ = [
+    'Schedule', 'SchedulerConfig', 'make', 'init_state', 'scale_model_input',
+    'step', 'add_noise', 'init_timestep_info', 'make_betas', 'alphas_cumprod'
+]

@@ -1,0 +1,103 @@
+"""Scheduler foundations: beta schedules, config, and the scan-friendly API.
+
+The reference drives stateful diffusers scheduler objects from a Python loop
+(pipeline/flex.py:262-287). TPU-native redesign: a scheduler is
+
+* a :class:`Schedule` — immutable pytree of precomputed tables (timesteps,
+  cumulative alphas, sigmas, LMS coefficients) built host-side at init, and
+* a pure ``step`` function ``(schedule, state, eps, i, counter, sample, key)
+  -> (state, prev_sample)`` where ``i`` is the (traced) position in the
+  timestep list and ``counter = i - t_start`` the number of calls so far —
+
+so the whole denoise loop compiles into one ``lax.scan`` and a *traced*
+``t_start`` (img2img strength) never forces a recompile.
+
+Schedule semantics follow the reference's diffusers-0.3.0 usage: scaled-linear
+betas (0.00085 → 0.012, 1000 train steps — SD v1.x), the ``steps_offset = 1``
+shim (pipeline/flex.py:57-70), PLMS (``skip_prk_steps=True``) with its
+duplicated second timestep, and LMS sigma interpolation with trailing zero.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class SchedulerConfig:
+    kind: str = 'pndm'  # 'ddim' | 'pndm' | 'lms'
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = 'scaled_linear'  # or 'linear'
+    steps_offset: int = 1
+    # DDIM-only knobs (defaults match diffusers DDIMScheduler).
+    clip_sample: bool = True
+    set_alpha_to_one: bool = True
+    # PNDM-only: PLMS mode (SD ships skip_prk_steps=True).
+    skip_prk_steps: bool = True
+
+
+def make_betas(config: SchedulerConfig) -> np.ndarray:
+    n = config.num_train_timesteps
+    if config.beta_schedule == 'scaled_linear':
+        return np.linspace(config.beta_start**0.5, config.beta_end**0.5, n,
+                           dtype=np.float64)**2
+    if config.beta_schedule == 'linear':
+        return np.linspace(config.beta_start, config.beta_end, n,
+                           dtype=np.float64)
+    raise ValueError(f'unknown beta schedule {config.beta_schedule!r}')
+
+
+def alphas_cumprod(config: SchedulerConfig) -> np.ndarray:
+    return np.cumprod(1.0 - make_betas(config), axis=0)
+
+
+class Schedule(struct.PyTreeNode):
+    """Precomputed schedule tables (a pytree; static metadata is aux data)."""
+
+    kind: str = struct.field(pytree_node=False)
+    num_steps: int = struct.field(pytree_node=False)
+    num_train_timesteps: int = struct.field(pytree_node=False)
+    ratio: int = struct.field(pytree_node=False)
+    steps_offset: int = struct.field(pytree_node=False)
+    clip_sample: bool = struct.field(pytree_node=False)
+    # Length L of the scan (PNDM/PLMS has steps+1 entries, see pndm.py).
+    length: int = struct.field(pytree_node=False)
+
+    timesteps: Array = None          # [L] float32, fed to the UNet
+    alphas_cumprod: Array = None     # [num_train_timesteps]
+    final_alpha_cumprod: Array = None
+    sigmas: Array = None             # [L+1] (LMS) else [1]
+    lms_coeffs: Array = None         # [L, 4] (LMS) else [1, 4]
+
+
+def ddim_like_add_noise(schedule: Schedule, sample: Array, noise: Array,
+                        timestep: Array) -> Array:
+    """`x_t = sqrt(ᾱ_t)·x₀ + sqrt(1-ᾱ_t)·ε` (DDIM/PNDM add_noise)."""
+    t = jnp.clip(timestep.astype(jnp.int32), 0,
+                 schedule.num_train_timesteps - 1)
+    ap = schedule.alphas_cumprod[t]
+    return (jnp.sqrt(ap) * sample +
+            jnp.sqrt(1.0 - ap) * noise).astype(sample.dtype)
+
+
+def init_timestep_info(schedule: Schedule, strength: float,
+                       steps: int) -> Tuple[int, int]:
+    """img2img noise level: (init_timestep, t_start).
+
+    Mirrors pipeline/flex.py:196-221: ``init_timestep = int(steps·strength)
+    + offset`` clamped to ``steps``; ``t_start = max(steps - init_timestep
+    + offset, 0)``.
+    """
+    offset = schedule.steps_offset
+    init_timestep = min(int(steps * strength) + offset, steps)
+    t_start = max(steps - init_timestep + offset, 0)
+    return init_timestep, t_start
