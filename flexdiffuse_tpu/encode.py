@@ -1,0 +1,48 @@
+"""CLIPEncoder — text and image embedding facade (reference encode/clip.py).
+
+Wraps the Flax CLIP towers + tokenizer behind the two-method contract the
+guidance system consumes:
+
+* ``prompt(str | list[str]) -> [B, 77, 768]`` — tokenize (pad/truncate to
+  77) and run the text tower's post-LN last hidden state
+  (reference encode/clip.py:47-65);
+* ``image(PIL) -> [1, 257, 768]`` — SD-preprocess → center-crop → 224²
+  bicubic → normalize (from the [-1,1] range, a reference quirk) → vision
+  tower with the all-patch ``post_layernorm`` + ``visual_projection`` path
+  (reference encode/clip.py:67-100).
+
+Both towers are jit-compiled once; prompts of any batch size reuse the same
+executable per shape.
+"""
+from __future__ import annotations
+
+from typing import List, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flexdiffuse_tpu.utils.image import clip_preprocess
+
+Array = jax.Array
+
+
+class CLIPEncoder:
+    def __init__(self, text_model, text_params, vision_model, vision_params,
+                 tokenizer) -> None:
+        self.tokenizer = tokenizer
+        self._text_apply = jax.jit(text_model.apply)
+        self._vision_apply = jax.jit(vision_model.apply)
+        self._text_params = text_params
+        self._vision_params = vision_params
+
+    def prompt(self, prompt: Union[str, List[str]]) -> Array:
+        ids = jnp.asarray(self.tokenizer(prompt))
+        return self._text_apply(self._text_params, ids)
+
+    def image(self, image) -> Array:
+        if isinstance(image, np.ndarray) and image.ndim == 4:
+            pixels = jnp.asarray(image)  # already preprocessed NHWC
+        else:
+            pixels = jnp.asarray(clip_preprocess(image))
+        return self._vision_apply(self._vision_params, pixels)

@@ -51,10 +51,14 @@ def attention(q: Array, k: Array, v: Array,
     if scale is None:
         scale = q.shape[-1]**-0.5
     backend = _BACKEND
+    big = (q.shape[-2] >= FLASH_MIN_SEQ and k.shape[-2] >= FLASH_MIN_SEQ)
     if backend == 'auto':
-        on_tpu = jax.default_backend() == 'tpu'
-        backend = ('flash' if on_tpu and q.shape[-2] >= FLASH_MIN_SEQ
-                   and k.shape[-2] >= FLASH_MIN_SEQ else 'xla')
+        backend = ('flash'
+                   if jax.default_backend() == 'tpu' and big else 'xla')
+    elif backend == 'flash' and not big:
+        # Forced flash still falls back for short sequences (cross-attention
+        # kv=77): there is no score matrix worth streaming there.
+        backend = 'xla'
     if backend == 'flash':
         from flexdiffuse_tpu.ops.flash_attention import flash_attention
         return flash_attention(q, k, v, scale)

@@ -1,0 +1,9 @@
+"""Pipeline — the compiled denoising loop and guide-as-data conditioning."""
+from flexdiffuse_tpu.pipeline.flex import FlexPipeline, FlexPipelineOutput
+from flexdiffuse_tpu.pipeline.guides import (CompositeGuidance,
+                                             SimpleGuidance, entity_masks)
+
+__all__ = [
+    'FlexPipeline', 'FlexPipelineOutput', 'SimpleGuidance',
+    'CompositeGuidance', 'entity_masks'
+]

@@ -1,0 +1,241 @@
+"""FlexPipeline — the compiled txt2img / img2img denoising pipeline.
+
+TPU-native rebuild of the reference's ``FlexPipeline``
+(pipeline/flex.py:126-310). The reference drives a Python loop of UNet calls
+through diffusers scheduler objects; here the **entire sampling loop is one
+``lax.scan`` inside one jit** (UNet + CFG + scheduler update fused into a
+single XLA program):
+
+* ``t_start`` (img2img strength) is a *traced* scalar — the scan always runs
+  the full static length and gates skipped steps with ``lax.cond`` (XLA
+  ``Conditional`` executes only the taken branch, so skipped steps cost
+  ~nothing and changing strength never recompiles).
+* Guides are data (:mod:`flexdiffuse_tpu.pipeline.guides`), not virtual
+  methods: new embeddings/scales/masks re-run the same executable.
+* RNG is ``jax.random`` key-splitting; torch-bitwise parity is impossible by
+  construction (different generators) — parity targets are distributional
+  (BASELINE.md).
+* Attention slicing (reference pipeline/flex.py:85-110) is replaced by the
+  Pallas flash-attention kernel; the toggles remain as no-ops for API parity.
+
+Latent layout is NHWC (TPU conv-native). The 0.18215 VAE latent scale
+matches pipeline/flex.py:117,192.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from flexdiffuse_tpu import schedulers
+from flexdiffuse_tpu.config import LATENT_SCALE
+from flexdiffuse_tpu.pipeline.guides import CompositeGuidance, SimpleGuidance
+from flexdiffuse_tpu.utils.image import preprocess, to_pil
+
+Array = jax.Array
+Guidance = Union[SimpleGuidance, CompositeGuidance]
+
+
+@dataclasses.dataclass
+class FlexPipelineOutput:
+    """Mirror of StableDiffusionPipelineOutput (NSFW detection hardcoded
+    False, reference pipeline/flex.py:308-310)."""
+    images: Union[List[Image.Image], np.ndarray]
+    nsfw_content_detected: List[bool]
+
+    def __getitem__(self, key):
+        # The reference Runner reads output['sample'] (utils.py:102), a
+        # field diffusers had already renamed to `images` — honor both.
+        if key in ('images', 'sample'):
+            return self.images
+        if key == 'nsfw_content_detected':
+            return self.nsfw_content_detected
+        raise KeyError(key)
+
+
+class FlexPipeline:
+    """Holds models + params and compiles the full generation program.
+
+    Args:
+        unet / unet_params: a :class:`UNet2DCondition` and its params.
+        vae / vae_params: an :class:`AutoencoderKL` and its params.
+        scheduler: 'ddim' | 'pndm' | 'lms' (reference supports the same trio).
+    """
+
+    def __init__(self, unet, unet_params, vae, vae_params,
+                 scheduler: str = 'pndm',
+                 scheduler_config: Optional[schedulers.SchedulerConfig] = None
+                 ) -> None:
+        self.unet = unet
+        self.unet_params = unet_params
+        self.vae = vae
+        self.vae_params = vae_params
+        self.scheduler_kind = scheduler
+        self.scheduler_config = scheduler_config
+        self._schedules: dict = {}
+        self.latent_channels = vae.config.latent_channels
+        self.vae_scale = 2**(len(vae.config.block_channels) - 1)
+
+        unet_apply = unet.apply
+        vae_apply = vae.apply
+
+        @functools.partial(jax.jit, static_argnames=('debug',))
+        def _sample(unet_params, schedule, state0, guidance, latents,
+                    t_start, eta, key, debug=False):
+            def noise_fn(lat, t, ctx):
+                return unet_apply(unet_params, lat, t, ctx)
+
+            def body(carry, i):
+                lat, state, k = carry
+                k, sub = jax.random.split(k)
+
+                def active(op):
+                    lat, state = op
+                    xin = schedulers.scale_model_input(schedule, lat, i)
+                    t = schedule.timesteps[i]
+                    span = jnp.maximum(schedule.length - 1 - t_start, 1)
+                    progress = (i - t_start).astype(jnp.float32) / span
+                    eps = guidance.noise_pred(noise_fn, xin, t, progress)
+                    state, new = schedulers.step(schedule, state, eps, i,
+                                                 i - t_start, lat, sub, eta)
+                    return new, state
+
+                lat, state = jax.lax.cond(i >= t_start, active,
+                                          lambda op: op, (lat, state))
+                ys = lat if debug else jnp.zeros((), jnp.float32)
+                return (lat, state, k), ys
+
+            (latents, _, _), all_latents = jax.lax.scan(
+                body, (latents, state0, key),
+                jnp.arange(schedule.length))
+            return latents, all_latents
+
+        self._sample = _sample
+
+        @jax.jit
+        def _encode(vae_params, pixels, key):
+            mean, logvar = vae_apply(vae_params, pixels,
+                                     method=type(vae).encode)
+            z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                key, mean.shape, jnp.float32)
+            return z * LATENT_SCALE
+
+        self._encode = _encode
+
+        @jax.jit
+        def _decode(vae_params, latents):
+            img = vae_apply(vae_params, latents / LATENT_SCALE,
+                            method=type(vae).decode)
+            return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+
+        self._decode = _decode
+
+    # ------------------------------------------------------------------
+    # API-parity shims: attention slicing is obsolete under flash attention
+    # (reference pipeline/flex.py:85-110).
+    def enable_attention_slicing(self, slice_size=None) -> None:
+        """No-op: the Pallas flash-attention kernel already streams K/V
+        blocks, which is strictly better than slicing."""
+
+    def disable_attention_slicing(self) -> None:
+        """No-op (see :meth:`enable_attention_slicing`)."""
+
+    # ------------------------------------------------------------------
+    def schedule(self, steps: int) -> schedulers.Schedule:
+        key = (self.scheduler_kind, steps)
+        if key not in self._schedules:
+            self._schedules[key] = schedulers.make(self.scheduler_kind, steps,
+                                                   self.scheduler_config)
+        return self._schedules[key]
+
+    def latents_to_images(self, latents: Array,
+                          pil: bool = True) -> Union[np.ndarray, list]:
+        """VAE-decode latents to [0,1] images (reference flex.py:112-124)."""
+        img = np.asarray(self._decode(self.vae_params, latents))
+        return to_pil(img) if pil else img
+
+    def __call__(self,
+                 guide: Guidance,
+                 steps: int = 30,
+                 init_image: Optional[Union[Image.Image, np.ndarray,
+                                            Array]] = None,
+                 init_size: Tuple[int, int] = (512, 512),
+                 strength: float = 0.6,
+                 eta: float = 0.0,
+                 key: Optional[Array] = None,
+                 output_type: str = 'pil',
+                 return_dict: bool = True,
+                 debug: bool = False):
+        """Generate images (reference ``FlexPipeline.__call__``
+        pipeline/flex.py:126-310; ``generator`` → explicit PRNG ``key``).
+        """
+        if strength < 0 or strength > 1:
+            raise ValueError('The value of strength should in [0.0, 1.0] '
+                             f'but is {strength}')
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        key, k_enc, k_noise, k_scan = jax.random.split(key, 4)
+
+        batch_size = guide.batch_size
+        schedule = self.schedule(steps)
+        f = self.vae_scale
+
+        if init_image is not None:
+            if isinstance(init_image, Image.Image):
+                init_image = preprocess(init_image)
+            pixels = jnp.asarray(init_image)
+            init_latents = self._encode(self.vae_params, pixels, k_enc)
+            init_latents = jnp.concatenate([init_latents] * batch_size)
+            init_timestep, t_start = schedulers.init_timestep_info(
+                schedule, strength, steps)
+            noise = jax.random.normal(k_noise, init_latents.shape,
+                                      jnp.float32)
+            latents = schedulers.add_noise(schedule, init_latents, noise,
+                                           init_timestep)
+        else:
+            height, width = init_size
+            latents = jax.random.normal(
+                k_noise,
+                (batch_size, height // f, width // f, self.latent_channels),
+                jnp.float32)
+            if schedule.kind == 'lms':
+                latents = latents * schedule.sigmas[0]
+            t_start = 0
+
+        state0 = schedulers.init_state(schedule, latents.shape,
+                                       latents.dtype)
+        latents, all_latents = self._sample(self.unet_params, schedule,
+                                            state0, guide, latents,
+                                            jnp.int32(t_start),
+                                            jnp.float32(eta), k_scan,
+                                            debug=debug)
+
+        if debug:
+            # Decode every recorded step from t_start on (reference debug
+            # mode, flex.py:254-301). all_latents is [L, B, h, w, C].
+            steps_recorded = np.asarray(all_latents)[int(t_start):]
+            batches = [
+                self.latents_to_images(jnp.asarray(l),
+                                       pil=(output_type == 'pil'))
+                for l in steps_recorded
+            ]
+            if output_type == 'pil':
+                images: Union[list, np.ndarray] = [
+                    im for b in batches for im in b
+                ]
+            else:
+                images = np.concatenate(batches, axis=0)
+        else:
+            images = self.latents_to_images(latents,
+                                            pil=(output_type == 'pil'))
+
+        if not return_dict:
+            return (images, False)
+        return FlexPipelineOutput(images=images,
+                                  nsfw_content_detected=[False
+                                                         for _ in images])

@@ -1,0 +1,152 @@
+"""Guides as data — conditioning specs for the compiled denoise loop.
+
+The reference injects conditioning through a virtual-method hierarchy
+(``GuideBase.noise_pred``, pipeline/guide.py:8-72; ``CompositeGuide``,
+composition/guide.py:32-139) called from a Python loop. TPU-native redesign:
+a guide is a **pytree of tensors** (embedding stack + blend masks + scales)
+plus pure functions — the whole sampling loop jits once, and swapping guide
+*parameters* (embeddings, scales, masks) never recompiles; only structural
+changes (batch size, entity count, CFG on/off) do.
+
+* :class:`SimpleGuidance` — classifier-free guidance over a ``[B, T, D]``
+  conditioning batch (pipeline/guide.py:46-64 semantics).
+* :class:`CompositeGuidance` — regional composition: a ``(1+E)``-entry
+  embedding stack denoises the same latents, and each entity's noise
+  prediction is lerped into its rectangular region of the background
+  prediction via precomputed masks — the reference's per-batch, per-entity
+  Python rect loop (composition/guide.py:71-87) becomes one vectorized
+  ``where``-free mask blend.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+Array = jax.Array
+
+# noise_fn(latents [N,h,w,4], t [N], context [N,T,D]) -> eps [N,h,w,4]
+NoiseFn = Callable[[Array, Array, Array], Array]
+
+
+class SimpleGuidance(struct.PyTreeNode):
+    """CFG conditioning: uncond + per-sample cond embeddings.
+
+    ``embeddings``: ``[B, T, D]`` tweened prompt embeddings.
+    ``uncond``: ``[1, T, D]`` empty-prompt embeddings.
+    ``guidance_scale``: traced scalar; CFG batching is controlled by the
+    static ``cfg`` flag (reference gates on ``guidance > 1``,
+    pipeline/guide.py:47).
+    """
+
+    embeddings: Array
+    uncond: Array
+    guidance_scale: Array
+    cfg: bool = struct.field(pytree_node=False, default=True)
+
+    @property
+    def batch_size(self) -> int:
+        return self.embeddings.shape[0]
+
+    def noise_pred(self, noise_fn: NoiseFn, latents: Array, t: Array,
+                   progress: Array = 0.0) -> Array:
+        del progress
+        b = self.batch_size
+        if not self.cfg:
+            return noise_fn(latents, jnp.broadcast_to(t, (b,)),
+                            self.embeddings)
+        ctx = jnp.concatenate(
+            [jnp.broadcast_to(self.uncond,
+                              self.embeddings.shape), self.embeddings])
+        lat2 = jnp.concatenate([latents, latents])
+        eps = noise_fn(lat2, jnp.broadcast_to(t, (2 * b,)), ctx)
+        eps_u, eps_c = jnp.split(eps, 2)
+        return eps_u + self.guidance_scale * (eps_c - eps_u)
+
+
+def entity_masks(entities: Sequence[Tuple[Tuple[int, int], Tuple[int, int]]],
+                 latent_hw: Tuple[int, int]) -> Array:
+    """Rect masks ``[E, h, w, 1]`` from (offset_blocks, size_blocks) pairs.
+
+    Precomputed host-side once per schema; px→block conversion (//8) happens
+    in :mod:`flexdiffuse_tpu.composition.embeds`.
+    """
+    h, w = latent_hw
+    masks = []
+    for (ox, oy), (sx, sy) in entities:
+        m = jnp.zeros((h, w, 1), jnp.float32)
+        m = m.at[oy:oy + sy, ox:ox + sx].set(1.0)
+        masks.append(m)
+    if not masks:
+        return jnp.zeros((0, h, w, 1), jnp.float32)
+    return jnp.stack(masks)
+
+
+class CompositeGuidance(struct.PyTreeNode):
+    """Regional composition conditioning (composition/guide.py semantics).
+
+    ``background``: ``[1, T, D]``; ``entities``: ``[E, T, D]``;
+    ``masks``: ``[E, h, w, 1]``; ``blends``: ``[E]`` per-entity strengths.
+    The batch replicates latents across ``1 (uncond) + 1 (bg) + E`` contexts,
+    runs ONE UNet call, then composites (reference composition/guide.py:58-95,
+    with CFG applied after regional blending).
+    """
+
+    background: Array
+    entities: Array
+    masks: Array
+    blends: Array
+    uncond: Array
+    guidance_scale: Array
+    # Style interpolation start→end over denoise progress. The reference
+    # computes this embedding every step but never feeds it to the UNet
+    # (composition/guide.py:113-121, and its progress ratio is inverted);
+    # we implement the documented intent behind `style_strength` — default 0
+    # keeps reference-faithful behavior (SURVEY.md §7.6 keep/fix decision).
+    style_start: Optional[Array] = None
+    style_end: Optional[Array] = None
+    style_range: Optional[Array] = None      # [2]: blend at p=0 and p=1
+    style_strength: Array = 0.0
+    cfg: bool = struct.field(pytree_node=False, default=True)
+
+    @property
+    def batch_size(self) -> int:
+        return 1
+
+    @property
+    def num_entities(self) -> int:
+        return self.entities.shape[0]
+
+    def noise_pred(self, noise_fn: NoiseFn, latents: Array, t: Array,
+                   progress: Array = 0.0) -> Array:
+        e = self.num_entities
+        background = self.background
+        if self.style_start is not None:
+            mix = self.style_range[0] + progress * (self.style_range[1] -
+                                                    self.style_range[0])
+            style = self.style_start + (self.style_end -
+                                        self.style_start) * mix
+            background = background + self.style_strength * (style -
+                                                             background)
+        stack = [background, self.entities]
+        if self.cfg:
+            stack = [self.uncond] + stack
+        ctx = jnp.concatenate(stack)                     # [(cfg)+1+E, T, D]
+        n = ctx.shape[0]
+        lat = jnp.broadcast_to(latents, (n,) + latents.shape[1:])
+        eps = noise_fn(lat, jnp.broadcast_to(t, (n,)), ctx)
+
+        off = 1 if self.cfg else 0
+        bg = eps[off:off + 1]                            # [1, h, w, 4]
+        # Sequential entity composition (declaration order matters for
+        # overlapping rects — reference composition/guide.py:76-87).
+        for i in range(e):
+            ent = eps[off + 1 + i:off + 2 + i]
+            m = self.masks[i][None]                      # [1, h, w, 1]
+            bg = bg + m * self.blends[i] * (ent - bg)
+        if self.cfg:
+            uncond = eps[0:1]
+            bg = uncond + self.guidance_scale * (bg - uncond)
+        return bg

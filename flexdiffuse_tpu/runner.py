@@ -1,0 +1,260 @@
+"""Runner — top-level orchestration: loading, seeding, sweeps, outputs.
+
+Rebuild of the reference ``Runner`` (utils.py:53-207): owns model loading,
+seed handling, the multi-batch sweep, parameter-encoded output filenames (the
+provenance system — kept on purpose) and grid assembly.
+
+Conscious fixes vs. the reference (SURVEY.md §7.f keep/fix catalogue):
+* reads ``output.images`` instead of the stale ``output['sample']`` key
+  (utils.py:102 — both work against our pipeline output);
+* DDIM η is an explicit parameter and is **not** clobbered by wall-clock
+  timing (the reference stores elapsed seconds into ``self.eta``,
+  utils.py:72,103 — a latent bug);
+* structured logging instead of prints.
+
+RNG: seeds are clamped to the torch-compatible ``[0, 2³¹−1]`` range
+(utils.py:78-83) and feed ``jax.random.PRNGKey``; bitwise torch parity is
+impossible (different generators) — see BASELINE.md.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Any, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from flexdiffuse_tpu import schedulers
+from flexdiffuse_tpu.composition import EntitySchema, Schema, encode_schema
+from flexdiffuse_tpu.config import MAX_SEED, GuidanceParams, RunConfig, \
+    clamp_seed
+from flexdiffuse_tpu.encode import CLIPEncoder
+from flexdiffuse_tpu.guidance import Guide
+from flexdiffuse_tpu.models import (AutoencoderKL, CLIPTextModel,
+                                    CLIPVisionModel, SD14_UNET, SD14_VAE,
+                                    UNet2DCondition, configs)
+from flexdiffuse_tpu.pipeline import FlexPipeline, SimpleGuidance
+from flexdiffuse_tpu.utils.image import image_grid
+
+log = logging.getLogger(__name__)
+
+
+def _i100(f: float) -> int:
+    return int(f * 100)
+
+
+class Runner:
+    """End-to-end generation runner.
+
+    Construct either from a model root directory containing HF snapshots
+    (``Runner(model_root=...)``) or from already-built models/params
+    (``Runner.from_models(...)``, used by tests and tools).
+    """
+
+    def __init__(self,
+                 model_root: Optional[str] = None,
+                 config: RunConfig = RunConfig(),
+                 scheduler: str = 'pndm',
+                 dtype=jnp.bfloat16) -> None:
+        self.config = config
+        if model_root is None:
+            raise ValueError(
+                'model_root is required (a directory with HF snapshots of '
+                f'{config.sd_model} and {config.clip_model}); for weightless '
+                'construction use Runner.from_models(...)')
+        from flexdiffuse_tpu.text.tokenizer import CLIPTokenizer
+        from flexdiffuse_tpu.weights import load
+
+        sd_dir = os.path.join(model_root, config.sd_model.split('/')[-1])
+        clip_dir = os.path.join(model_root, config.clip_model.split('/')[-1])
+        log.info('Loading CLIP from %s and SD from %s (local only: %s)',
+                 clip_dir, sd_dir, config.local_only)
+        text_params, vision_params = load.load_clip(clip_dir)
+        unet_params, vae_params = load.load_sd(sd_dir)
+        tokenizer = CLIPTokenizer.from_dir(clip_dir)
+        text_model = CLIPTextModel(configs.CLIP_VIT_L14_TEXT, dtype=dtype)
+        vision_model = CLIPVisionModel(configs.CLIP_VIT_L14_VISION,
+                                       dtype=dtype)
+        unet = UNet2DCondition(SD14_UNET, dtype=dtype)
+        vae = AutoencoderKL(SD14_VAE, dtype=dtype)
+        self._init_common(text_model, text_params, vision_model,
+                          vision_params, unet, unet_params, vae, vae_params,
+                          tokenizer, scheduler)
+
+    @classmethod
+    def from_models(cls, text_model, text_params, vision_model,
+                    vision_params, unet, unet_params, vae, vae_params,
+                    tokenizer, scheduler: str = 'pndm',
+                    config: RunConfig = RunConfig()) -> 'Runner':
+        self = cls.__new__(cls)
+        self.config = config
+        self._init_common(text_model, text_params, vision_model,
+                          vision_params, unet, unet_params, vae, vae_params,
+                          tokenizer, scheduler)
+        return self
+
+    def _init_common(self, text_model, text_params, vision_model,
+                     vision_params, unet, unet_params, vae, vae_params,
+                     tokenizer, scheduler) -> None:
+        self.encoder = CLIPEncoder(text_model, text_params, vision_model,
+                                   vision_params, tokenizer)
+        self.guide = Guide(self.encoder)
+        self.pipe = FlexPipeline(unet, unet_params, vae, vae_params,
+                                 scheduler=scheduler)
+        self.eta = 0.0  # DDIM η — a real parameter here, never a timer.
+        self._key = jax.random.PRNGKey(0)
+        self.output_dir = self.config.output_dir
+        self.grid_dir = os.path.join(self.output_dir, 'grids')
+
+    # ------------------------------------------------------------------
+    def _set_seed(self, seed: Optional[int]) -> int:
+        seed = clamp_seed(seed)
+        if seed is None:
+            seed = int(np.random.default_rng().integers(0, MAX_SEED))
+        self._key = jax.random.PRNGKey(seed)
+        return seed
+
+    def _next_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # ------------------------------------------------------------------
+    def _run(self, batches: int, guidance, init_image, init_size, strength,
+             steps: int, debug: bool, fp: str,
+             save: bool = True) -> Tuple[List[Image.Image], Image.Image]:
+        """Multi-batch sweep (reference ``_run`` utils.py:85-112): one
+        compiled executable, new PRNG key per batch."""
+        all_images: List[Image.Image] = []
+        if save:
+            os.makedirs(self.grid_dir, exist_ok=True)
+        for b in range(batches):
+            stime = time.time()
+            ms_time = int(stime * 1000)
+            out = self.pipe(guidance, steps=steps, init_image=init_image,
+                            init_size=init_size, strength=strength,
+                            eta=self.eta, key=self._next_key(), debug=debug)
+            images = out.images
+            log.info('batch %d/%d: %d image(s) in %.2fs', b + 1, batches,
+                     len(images), time.time() - stime)
+            if save:
+                for i, img in enumerate(images):
+                    img.save(
+                        f'{self.output_dir}/{ms_time:>013d}_{i:>02d}_{fp}.png',
+                        format='png')
+            all_images.extend(images)
+        grid = image_grid(all_images)
+        if save:
+            ms_time = int(time.time() * 1000)
+            grid.save(f'{self.grid_dir}/{ms_time:>013d}_{fp}.png',
+                      format='png')
+        return all_images, grid
+
+    # ------------------------------------------------------------------
+    def gen(self,
+            prompt: Union[str, List[str]] = '',
+            init_image: Optional[Image.Image] = None,
+            guide: Union[Image.Image, str, None] = None,
+            init_size: Tuple[int, int] = (512, 512),
+            mapping_concepts: str = '',
+            guide_threshold_mult: float = 0.5,
+            guide_threshold_floor: float = 0.5,
+            guide_clustered: float = 0.5,
+            guide_linear: Tuple[float, float] = (0.0, 0.5),
+            guide_max_guidance: float = 0.5,
+            guide_header_max: float = 0.15,
+            guide_mode: int = 0,
+            guide_reuse: bool = True,
+            strength: float = 0.6,
+            steps: int = 10,
+            guidance_scale: float = 8,
+            samples: int = 1,
+            seed: Optional[int] = None,
+            debug: bool = False,
+            save: bool = True):
+        """Guided generation (reference ``Runner.gen`` utils.py:114-166)."""
+        fp = f'i2i_ds{int(strength * 100)}' if init_image is not None \
+            else 't2i'
+        if guide is not None and not (isinstance(guide, str) and not guide):
+            fp += (f'_itm{_i100(guide_threshold_mult)}'
+                   f'_itf{_i100(guide_threshold_floor)}'
+                   f'_ic{_i100(guide_clustered)}'
+                   f'_il{_i100(guide_linear[0])}'
+                   f'-{_i100(guide_linear[1])}'
+                   f'_mg{_i100(guide_max_guidance)}'
+                   f'_hm{_i100(guide_header_max)}'
+                   f'_im{guide_mode:d}')
+        fp += f'_st{steps}_gs{int(guidance_scale)}'
+        if seed:
+            fp += f'_se{seed}'
+
+        self._set_seed(seed)
+        params = GuidanceParams(threshold_mult=guide_threshold_mult,
+                                threshold_floor=guide_threshold_floor,
+                                clustered=guide_clustered,
+                                linear=tuple(guide_linear),
+                                max_guidance=guide_max_guidance,
+                                header_max=guide_header_max, mode=guide_mode,
+                                reuse=guide_reuse)
+        embeds = self.guide.embeds(prompt=prompt, guide=guide,
+                                   mapping_concepts=mapping_concepts,
+                                   params=params)
+        guidance = SimpleGuidance(
+            embeddings=embeds, uncond=self.encoder.prompt(''),
+            guidance_scale=jnp.float32(guidance_scale),
+            cfg=guidance_scale > 1.0)
+        return self._run(samples, guidance, init_image, init_size, strength,
+                         steps, debug, fp, save)
+
+    # ------------------------------------------------------------------
+    def compose(self,
+                bg_prompt: str = '',
+                entities_df: Sequence[Sequence[Any]] = (),
+                start_style: str = '',
+                end_style: str = '',
+                style_blend: Tuple[float, float] = (0.0, 1.0),
+                init_image: Optional[Image.Image] = None,
+                batches: int = 4,
+                strength: float = 0.7,
+                steps: int = 30,
+                guidance_scale: float = 8.0,
+                init_size: Tuple[int, int] = (512, 512),
+                seed: Optional[int] = None,
+                debug: bool = False,
+                style_strength: float = 0.0,
+                save: bool = True):
+        """Regional composition (reference ``Runner.compose`` utils.py:168-207)."""
+        fp = f'ci2i_ds{int(strength * 100)}' if init_image is not None \
+            else 'ct2i'
+        fp += f'_st{steps}_gs{int(guidance_scale)}'
+        if seed:
+            fp += f'_se{seed}'
+
+        self._set_seed(seed)
+
+        def _row_to_ent(row: Sequence[Any]) -> Optional[EntitySchema]:
+            try:
+                return EntitySchema(
+                    str(row[0]).strip(), (int(row[1]), int(row[2])),
+                    (int(row[3]), int(row[4])), float(row[5]))
+            except Exception as ex:  # bad rows are skipped (utils.py:190-197)
+                log.warning('Failed to build EntitySchema: %s', ex)
+                return None
+
+        if hasattr(entities_df, '_values'):
+            entities_df = entities_df._values  # pandas DataFrame support
+        rows = [_row_to_ent(r) for r in entities_df]
+        ents = [r for r in rows if r and r.prompt]
+        schema = Schema(bg_prompt, start_style, end_style, tuple(style_blend),
+                        ents)
+        f = self.pipe.vae_scale
+        latent_hw = (init_size[0] // f, init_size[1] // f)
+        guidance = encode_schema(schema, self.encoder, latent_hw,
+                                 guidance_scale,
+                                 cfg=guidance_scale > 1.0,
+                                 style_strength=style_strength)
+        return self._run(batches, guidance, init_image, init_size, strength,
+                         steps, debug, fp, save)

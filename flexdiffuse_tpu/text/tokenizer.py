@@ -1,0 +1,170 @@
+"""CLIP BPE tokenizer — pure Python, loads HF ``vocab.json``/``merges.txt``.
+
+Drop-in for the transformers ``CLIPTokenizer`` the reference uses
+(encode/clip.py:57-63): lowercasing, whitespace cleanup, byte-level BPE with
+the ``</w>`` end-of-word convention, ``<|startoftext|>``/``<|endoftext|>``
+specials, padding to ``model_max_length`` (77) with truncation. Implemented
+from the published algorithm so the framework has no transformers dependency
+at runtime; when no vocab files are available (zero-egress test
+environments), :class:`FakeTokenizer` provides a deterministic stand-in.
+"""
+from __future__ import annotations
+
+import functools
+import gzip
+import html
+import json
+import os
+import re
+from typing import Dict, List, Sequence, Tuple, Union
+
+import numpy as np
+
+MODEL_MAX_LENGTH = 77
+
+_PAT = re.compile(
+    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
+    r"[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
+    if False else
+    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
+    r"[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+", re.IGNORECASE)
+
+
+@functools.lru_cache()
+def bytes_to_unicode() -> Dict[int, str]:
+    """GPT-2 byte↔unicode table (reversible byte-level encoding)."""
+    bs = (list(range(ord('!'), ord('~') + 1)) +
+          list(range(ord('¡'), ord('¬') + 1)) +
+          list(range(ord('®'), ord('ÿ') + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def _whitespace_clean(text: str) -> str:
+    return re.sub(r'\s+', ' ', html.unescape(html.unescape(text))).strip()
+
+
+class CLIPTokenizer:
+    """Byte-level BPE with CLIP's end-of-word merges."""
+
+    def __init__(self, vocab_path: str, merges_path: str) -> None:
+        with open(vocab_path, encoding='utf-8') as f:
+            self.encoder: Dict[str, int] = json.load(f)
+        self.decoder = {v: k for k, v in self.encoder.items()}
+        opener = gzip.open if merges_path.endswith('.gz') else open
+        with opener(merges_path, 'rt', encoding='utf-8') as f:
+            merges = f.read().split('\n')
+        # First line is the version header; drop empties.
+        merges = [m for m in merges[1:] if m and not m.startswith('#')]
+        self.bpe_ranks = {
+            tuple(m.split()): i for i, m in enumerate(merges)
+        }
+        self.byte_encoder = bytes_to_unicode()
+        self.bos_token_id = self.encoder['<|startoftext|>']
+        self.eos_token_id = self.encoder['<|endoftext|>']
+        self.model_max_length = MODEL_MAX_LENGTH
+        self._cache: Dict[str, List[str]] = {}
+
+    @classmethod
+    def from_dir(cls, model_dir: str) -> 'CLIPTokenizer':
+        """Load from an HF snapshot dir (``tokenizer/`` subdir or flat)."""
+        for sub in ('tokenizer', '.'):
+            v = os.path.join(model_dir, sub, 'vocab.json')
+            m = os.path.join(model_dir, sub, 'merges.txt')
+            if os.path.exists(v) and os.path.exists(m):
+                return cls(v, m)
+        raise FileNotFoundError(f'no vocab.json/merges.txt under {model_dir}')
+
+    def _bpe(self, token: str) -> List[str]:
+        if token in self._cache:
+            return self._cache[token]
+        word: Tuple[str, ...] = tuple(token[:-1]) + (token[-1] + '</w>',)
+        pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+        if not pairs:
+            return [token + '</w>']
+        while True:
+            bigram = min(pairs,
+                         key=lambda p: self.bpe_ranks.get(p, float('inf')))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word: List[str] = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                new_word.extend(word[i:j])
+                i = j
+                if (i < len(word) - 1 and word[i] == first
+                        and word[i + 1] == second):
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+        out = list(word)
+        self._cache[token] = out
+        return out
+
+    def encode(self, text: str) -> List[int]:
+        """Text → BPE ids (no specials)."""
+        text = _whitespace_clean(text).lower()
+        ids: List[int] = []
+        for tok in re.findall(_PAT, text):
+            tok = ''.join(self.byte_encoder[b] for b in tok.encode('utf-8'))
+            ids.extend(self.encoder[t] for t in self._bpe(tok))
+        return ids
+
+    def __call__(self, prompts: Union[str, Sequence[str]],
+                 max_length: int | None = None) -> np.ndarray:
+        """Tokenize to ``[B, max_length]`` int32 with BOS/EOS + EOS-padding
+        and truncation (matching HF CLIPTokenizer padding='max_length')."""
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        max_length = max_length or self.model_max_length
+        out = np.full((len(prompts), max_length), self.eos_token_id,
+                      np.int32)
+        for r, p in enumerate(prompts):
+            ids = [self.bos_token_id] + self.encode(p)
+            ids = ids[:max_length - 1] + [self.eos_token_id]
+            out[r, :len(ids)] = ids
+        return out
+
+
+class FakeTokenizer:
+    """Deterministic hash tokenizer for weightless test environments."""
+
+    def __init__(self, vocab_size: int = 1000) -> None:
+        self.vocab_size = vocab_size
+        self.model_max_length = MODEL_MAX_LENGTH
+        self.bos_token_id = 0
+        self.eos_token_id = 1
+
+    def __call__(self, prompts: Union[str, Sequence[str]],
+                 max_length: int | None = None) -> np.ndarray:
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        max_length = max_length or self.model_max_length
+        out = np.full((len(prompts), max_length), self.eos_token_id,
+                      np.int32)
+        for r, p in enumerate(prompts):
+            words = _whitespace_clean(p).lower().split()
+            ids = [self.bos_token_id] + [
+                2 + (abs(hash(w)) % (self.vocab_size - 2)) for w in words
+            ]
+            ids = ids[:max_length - 1] + [self.eos_token_id]
+            out[r, :len(ids)] = ids
+        return out

@@ -1,0 +1,4 @@
+"""Weights: HF checkpoint conversion and cached loading."""
+from flexdiffuse_tpu.weights import convert, load
+
+__all__ = ["convert", "load"]

@@ -1,0 +1,133 @@
+"""Tokenizer unit tests + Runner end-to-end with tiny models."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flexdiffuse_tpu.text.tokenizer import (CLIPTokenizer, FakeTokenizer,
+                                            MODEL_MAX_LENGTH)
+
+
+@pytest.fixture()
+def mini_tokenizer(tmp_path):
+    """Hand-built BPE vocab: enough to tokenize 'a cat sat'."""
+    chars = list('abcdefghijklmnopqrstuvwxyz ')
+    vocab = {}
+    for c in 'abcdefghijklmnopqrstuvwxyz':
+        vocab[c] = len(vocab)
+        vocab[c + '</w>'] = len(vocab)
+    for tok in ('ca', 'cat</w>', 'sa', 'sat</w>', 'at</w>'):
+        vocab[tok] = len(vocab)
+    vocab['<|startoftext|>'] = len(vocab)
+    vocab['<|endoftext|>'] = len(vocab)
+    merges = ['#version: 0.2', 'c a', 'ca t</w>', 's a', 'sa t</w>',
+              'a t</w>']
+    (tmp_path / 'vocab.json').write_text(json.dumps(vocab))
+    (tmp_path / 'merges.txt').write_text('\n'.join(merges))
+    return CLIPTokenizer(str(tmp_path / 'vocab.json'),
+                         str(tmp_path / 'merges.txt'))
+
+
+def test_bpe_merging(mini_tokenizer):
+    tk = mini_tokenizer
+    ids = tk.encode('cat')
+    assert ids == [tk.encoder['cat</w>']]
+    ids = tk.encode('a cat sat')
+    assert ids == [
+        tk.encoder['a</w>'], tk.encoder['cat</w>'], tk.encoder['sat</w>']
+    ]
+
+
+def test_padding_truncation_and_specials(mini_tokenizer):
+    tk = mini_tokenizer
+    out = tk('a cat')
+    assert out.shape == (1, MODEL_MAX_LENGTH)
+    assert out[0, 0] == tk.bos_token_id
+    assert out[0, 3] == tk.eos_token_id
+    assert (out[0, 4:] == tk.eos_token_id).all()
+    # Truncation keeps BOS and terminal EOS.
+    long = tk('cat ' * 200)
+    assert long.shape == (1, MODEL_MAX_LENGTH)
+    assert long[0, 0] == tk.bos_token_id
+    assert long[0, -1] == tk.eos_token_id
+
+
+def test_case_and_whitespace_normalization(mini_tokenizer):
+    tk = mini_tokenizer
+    np.testing.assert_array_equal(tk('A  CAT'), tk('a cat'))
+
+
+def test_fake_tokenizer_deterministic():
+    tk = FakeTokenizer()
+    np.testing.assert_array_equal(tk('a cat'), tk('a cat'))
+    assert tk(['a', 'b']).shape == (2, MODEL_MAX_LENGTH)
+
+
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope='module')
+def tiny_runner(tmp_path_factory):
+    from flexdiffuse_tpu.models import (AutoencoderKL, CLIPTextModel,
+                                        CLIPVisionModel, TINY_TEXT, TINY_UNET,
+                                        TINY_VAE, TINY_VISION,
+                                        UNet2DCondition)
+    from flexdiffuse_tpu.runner import Runner
+    from flexdiffuse_tpu.config import RunConfig
+
+    k = jax.random.PRNGKey(0)
+    text = CLIPTextModel(TINY_TEXT)
+    text_params = text.init(k, jnp.zeros((1, 77), jnp.int32))
+    vision = CLIPVisionModel(TINY_VISION)
+    vision_params = vision.init(k, jnp.zeros((1, 32, 32, 3)))
+    # Tiny UNet must accept the text tower's width as cross-attn context.
+    unet = UNet2DCondition(TINY_UNET)
+    unet_params = unet.init(k, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+                            jnp.zeros((1, 77, TINY_TEXT.hidden_size)))
+    vae = AutoencoderKL(TINY_VAE)
+    vae_params = vae.init(k, jnp.zeros((1, 16, 16, 3)), k)
+    out_dir = str(tmp_path_factory.mktemp('outputs'))
+    return Runner.from_models(text, text_params, vision, vision_params, unet,
+                              unet_params, vae, vae_params, FakeTokenizer(),
+                              config=RunConfig(output_dir=out_dir))
+
+
+def test_runner_gen_text_only(tiny_runner):
+    imgs, grid = tiny_runner.gen(prompt='a deer', steps=3,
+                                 init_size=(64, 64), samples=2, seed=1337)
+    assert len(imgs) == 2
+    assert grid.size[0] >= imgs[0].size[0]
+    # Parameter-encoded filenames were written (provenance system).
+    files = os.listdir(tiny_runner.output_dir)
+    pngs = [f for f in files if f.endswith('.png')]
+    assert any('t2i_st3_gs8_se1337' in f for f in pngs)
+    assert os.path.isdir(tiny_runner.grid_dir)
+
+
+def test_runner_gen_guided_by_text(tiny_runner):
+    imgs, _ = tiny_runner.gen(prompt='a deer', guide='colorful painting',
+                              steps=3, init_size=(64, 64), samples=1,
+                              seed=42, save=False)
+    assert len(imgs) == 1
+
+
+def test_runner_seed_reproducibility(tiny_runner):
+    a, _ = tiny_runner.gen(prompt='x', steps=3, init_size=(64, 64),
+                           samples=1, seed=7, save=False)
+    b, _ = tiny_runner.gen(prompt='x', steps=3, init_size=(64, 64),
+                           samples=1, seed=7, save=False)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def test_runner_compose(tiny_runner):
+    imgs, _ = tiny_runner.compose(
+        bg_prompt='a forest',
+        entities_df=[['a bear', 0, 32, 32, 32, 0.8],
+                     ['a deer', 32, 32, 32, 32, 0.8],
+                     ['', 0, 0, 0, 0, 0.5],          # empty prompt: skipped
+                     ['bad', 'x', 0, 0, 0, 'y']],    # unparsable: skipped
+        steps=3, batches=1, init_size=(64, 64), seed=3, save=False)
+    assert len(imgs) == 1
