@@ -1,0 +1,168 @@
+"""Command-line interface: convert weights, generate, compose, serve.
+
+The reference's only CLI is ``python ui.py [--dl] [--lan]``; the rebuild adds
+the model-conversion and headless-generation entry points SURVEY.md §7.7
+calls for. Usage::
+
+    python -m flexdiffuse_tpu.cli convert --models ./models
+    python -m flexdiffuse_tpu.cli generate --models ./models \
+        --prompt "a deer" --guide guide.png --steps 30 --seed 1337
+    python -m flexdiffuse_tpu.cli compose --models ./models --schema s.json
+    python -m flexdiffuse_tpu.cli serve --models ./models [--lan]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+
+def _add_model_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument('--models', default='./models',
+                   help='dir with HF snapshots of SD-1.4 and CLIP ViT-L/14')
+    p.add_argument('--scheduler', default='pndm',
+                   choices=('ddim', 'pndm', 'lms'))
+
+
+def _runner(args):
+    from flexdiffuse_tpu.config import RunConfig
+    from flexdiffuse_tpu.runner import Runner
+    return Runner(model_root=args.models,
+                  config=RunConfig(output_dir=getattr(args, 'out',
+                                                      './outputs')),
+                  scheduler=args.scheduler)
+
+
+def cmd_convert(args) -> int:
+    """One-time weight conversion; caches msgpack beside the snapshots."""
+    from flexdiffuse_tpu.config import RunConfig
+    from flexdiffuse_tpu.weights import load
+    cfg = RunConfig()
+    sd_dir = os.path.join(args.models, cfg.sd_model.split('/')[-1])
+    clip_dir = os.path.join(args.models, cfg.clip_model.split('/')[-1])
+    load.load_clip(clip_dir)
+    print(f'converted CLIP -> {clip_dir}/flexdiffuse_tpu_clip.msgpack')
+    load.load_sd(sd_dir)
+    print(f'converted SD   -> {sd_dir}/flexdiffuse_tpu_sd.msgpack')
+    return 0
+
+
+def cmd_generate(args) -> int:
+    from PIL import Image
+    runner = _runner(args)
+    guide = None
+    if args.guide:
+        guide = Image.open(args.guide) if os.path.exists(args.guide) \
+            else args.guide  # a path → image guide; otherwise text guide
+    init = Image.open(args.init_image) if args.init_image else None
+    imgs, grid = runner.gen(
+        prompt=args.prompt, init_image=init, guide=guide,
+        init_size=(args.height, args.width),
+        mapping_concepts=args.concepts,
+        guide_threshold_mult=args.threshold_mult,
+        guide_threshold_floor=args.threshold_floor,
+        guide_clustered=args.clustered,
+        guide_linear=(args.linear_start, args.linear_end),
+        guide_max_guidance=args.max_guidance,
+        guide_header_max=args.header_max, guide_mode=args.mode,
+        guide_reuse=not args.no_reuse, strength=args.strength,
+        steps=args.steps, guidance_scale=args.guidance_scale,
+        samples=args.samples, seed=args.seed, debug=args.debug)
+    print(f'{len(imgs)} image(s) written to {runner.output_dir}')
+    return 0
+
+
+def cmd_compose(args) -> int:
+    from flexdiffuse_tpu.composition import Schema
+    with open(args.schema) as f:
+        schema = Schema.from_json(f.read())
+    runner = _runner(args)
+    imgs, grid = runner.compose(
+        bg_prompt=schema.background_prompt,
+        entities_df=[[e.prompt, e.offset[0], e.offset[1], e.size[0],
+                      e.size[1], e.blend] for e in schema.entities],
+        start_style=schema.style_start_prompt,
+        end_style=schema.style_end_prompt,
+        style_blend=schema.style_blend, batches=args.samples,
+        strength=args.strength, steps=args.steps,
+        guidance_scale=args.guidance_scale,
+        init_size=(args.height, args.width), seed=args.seed,
+        debug=args.debug)
+    print(f'{len(imgs)} image(s) written to {runner.output_dir}')
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from flexdiffuse_tpu.interface.server import launch
+    launch(lambda: _runner(args), lan=args.lan,
+           port=args.port).serve_forever()
+    return 0
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO,
+                        format='%(asctime)s %(name)s %(message)s')
+    parser = argparse.ArgumentParser(prog='flexdiffuse_tpu')
+    sub = parser.add_subparsers(dest='cmd', required=True)
+
+    p = sub.add_parser('convert', help='convert HF checkpoints to pytrees')
+    p.add_argument('--models', default='./models')
+    p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser('generate', help='guided generation')
+    _add_model_args(p)
+    p.add_argument('--prompt', default='')
+    p.add_argument('--guide', default='',
+                   help='guide image path or guide text')
+    p.add_argument('--init-image', default='')
+    p.add_argument('--concepts', default='')
+    p.add_argument('--out', default='./outputs')
+    p.add_argument('--height', type=int, default=512)
+    p.add_argument('--width', type=int, default=512)
+    p.add_argument('--threshold-mult', type=float, default=0.25)
+    p.add_argument('--threshold-floor', type=float, default=0.75)
+    p.add_argument('--clustered', type=float, default=0.15)
+    p.add_argument('--linear-start', type=float, default=0.1)
+    p.add_argument('--linear-end', type=float, default=0.5)
+    p.add_argument('--max-guidance', type=float, default=0.35)
+    p.add_argument('--header-max', type=float, default=0.0)
+    p.add_argument('--mode', type=int, default=1,
+                   help='0=text order, 1=best fit, 2=direct')
+    p.add_argument('--no-reuse', action='store_true')
+    p.add_argument('--strength', type=float, default=0.6)
+    p.add_argument('--steps', type=int, default=30)
+    p.add_argument('--guidance-scale', type=float, default=8.0)
+    p.add_argument('--samples', type=int, default=4)
+    p.add_argument('--seed', type=int, default=None)
+    p.add_argument('--debug', action='store_true')
+    p.set_defaults(fn=cmd_generate)
+
+    p = sub.add_parser('compose', help='regional composition from a schema')
+    _add_model_args(p)
+    p.add_argument('--schema', required=True, help='Schema json file')
+    p.add_argument('--out', default='./outputs')
+    p.add_argument('--height', type=int, default=512)
+    p.add_argument('--width', type=int, default=512)
+    p.add_argument('--strength', type=float, default=0.7)
+    p.add_argument('--steps', type=int, default=30)
+    p.add_argument('--guidance-scale', type=float, default=8.0)
+    p.add_argument('--samples', type=int, default=4)
+    p.add_argument('--seed', type=int, default=None)
+    p.add_argument('--debug', action='store_true')
+    p.set_defaults(fn=cmd_compose)
+
+    p = sub.add_parser('serve', help='launch the web UI')
+    _add_model_args(p)
+    p.add_argument('--lan', action='store_true')
+    p.add_argument('--port', type=int, default=7860)
+    p.add_argument('--out', default='./outputs')
+    p.set_defaults(fn=cmd_serve)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -28,7 +28,10 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
-    q = q_ref[0].astype(jnp.float32) * scale            # [bq, d]
+    # Matmul inputs stay in the model dtype (bf16 on TPU → native MXU path;
+    # an f32 upcast here costs a multi-pass MXU decomposition); accumulation
+    # and softmax statistics are fp32.
+    q = (q_ref[0] * jnp.asarray(scale, q_ref.dtype))    # [bq, d]
     bq = q.shape[0]
     d = q.shape[1]
     skv = k_ref.shape[1]
@@ -36,15 +39,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
 
     def body(j, carry):
         acc, m, l = carry
-        kb = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        vb = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        kb = k_ref[0, pl.ds(j * block_k, block_k), :]
+        vb = v_ref[0, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        pv = jax.lax.dot_general(p, vb, (((1,), (0,)), ((), ())),
+        pv = jax.lax.dot_general(p.astype(vb.dtype), vb,
+                                 (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         acc = acc * alpha + pv
         return acc, m_new, l

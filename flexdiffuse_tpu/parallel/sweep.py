@@ -1,0 +1,84 @@
+"""Data-parallel multi-seed sweeps — the BASELINE.md stretch workload.
+
+One compiled executable generates ``N`` images for ``N`` seeds with the
+batch dim sharded across the mesh's data axis: every chip denoises its own
+slice, embeddings/params are replicated (or TP-sharded), and the only
+cross-chip traffic is the final gather. The reference's equivalent is a
+*serial* Python loop over batches on one GPU (utils.py:90).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flexdiffuse_tpu import schedulers
+from flexdiffuse_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                           seed_sweep_keys, shard_params)
+from flexdiffuse_tpu.pipeline.flex import FlexPipeline
+from flexdiffuse_tpu.pipeline.guides import SimpleGuidance
+
+Array = jax.Array
+
+
+def sweep(pipe: FlexPipeline,
+          embeddings: Array,
+          uncond: Array,
+          seeds_key: Array,
+          steps: int = 30,
+          guidance_scale: float = 8.0,
+          init_size: Tuple[int, int] = (512, 512),
+          mesh=None,
+          model_parallel: int = 1,
+          eta: float = 0.0) -> Array:
+    """Generate one image per seed, sharded over the mesh's data axis.
+
+    Args:
+        pipe: a FlexPipeline.
+        embeddings: ``[T, D]`` or ``[1, T, D]`` conditioning (shared by all
+            seeds).
+        uncond: ``[1, T, D]`` unconditional embeddings.
+        seeds_key: ``[N, key]`` PRNG keys from :func:`seed_sweep_keys` —
+            N must divide by the mesh's data-axis size.
+        mesh: optional prebuilt mesh (default: all devices, DP only).
+
+    Returns:
+        ``[N, H, W, 3]`` decoded images in [0, 1] (host numpy).
+    """
+    if mesh is None:
+        mesh = make_mesh(model_parallel=model_parallel)
+    n = seeds_key.shape[0]
+    if embeddings.ndim == 2:
+        embeddings = embeddings[None]
+    emb = jnp.broadcast_to(embeddings, (n,) + embeddings.shape[1:])
+
+    schedule = pipe.schedule(steps)
+    f = pipe.vae_scale
+    h, w = init_size[0] // f, init_size[1] // f
+    c = pipe.latent_channels
+
+    # Per-seed initial latents: vmapped key → normal draw.
+    latents = jax.vmap(
+        lambda k: jax.random.normal(k, (h, w, c), jnp.float32))(seeds_key)
+    if schedule.kind == 'lms':
+        latents = latents * schedule.sigmas[0]
+
+    guidance = SimpleGuidance(embeddings=emb, uncond=uncond,
+                              guidance_scale=jnp.float32(guidance_scale),
+                              cfg=guidance_scale > 1.0)
+    state0 = schedulers.init_state(schedule, latents.shape, latents.dtype)
+
+    sh = batch_sharding(mesh)
+    latents = jax.device_put(latents, sh)
+    guidance = guidance.replace(
+        embeddings=jax.device_put(emb, sh))
+    pipe.unet_params = shard_params(pipe.unet_params, mesh)
+
+    with mesh:
+        final, _ = pipe._sample(pipe.unet_params, schedule, state0, guidance,
+                                latents, jnp.int32(0), jnp.float32(eta),
+                                seeds_key[0], debug=False)
+        images = pipe._decode(pipe.vae_params, final)
+    return np.asarray(images)

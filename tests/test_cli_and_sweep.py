@@ -1,0 +1,66 @@
+"""CLI surface tests + data-parallel sweep test on the virtual mesh."""
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _cli(*args):
+    return subprocess.run([sys.executable, '-m', 'flexdiffuse_tpu.cli',
+                           *args], capture_output=True, text=True,
+                          cwd='/root/repo')
+
+
+def test_cli_help_lists_subcommands():
+    r = _cli('--help')
+    assert r.returncode == 0
+    for cmd in ('convert', 'generate', 'compose', 'serve'):
+        assert cmd in r.stdout
+
+
+def test_cli_generate_help_has_reference_params():
+    r = _cli('generate', '--help')
+    assert r.returncode == 0
+    for flag in ('--threshold-mult', '--clustered', '--linear-start',
+                 '--max-guidance', '--strength', '--seed'):
+        assert flag in r.stdout
+
+
+def test_cli_convert_missing_models_fails_cleanly():
+    r = _cli('convert', '--models', '/nonexistent')
+    assert r.returncode != 0
+
+
+def test_dp_sweep_one_image_per_seed():
+    from flexdiffuse_tpu.models import (AutoencoderKL, TINY_UNET, TINY_VAE,
+                                        UNet2DCondition)
+    from flexdiffuse_tpu.parallel import make_mesh, seed_sweep_keys
+    from flexdiffuse_tpu.parallel.sweep import sweep
+    from flexdiffuse_tpu.pipeline import FlexPipeline
+
+    k = jax.random.PRNGKey(0)
+    unet = UNet2DCondition(TINY_UNET)
+    unet_params = unet.init(k, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+                            jnp.zeros((1, 77, 32)))
+    vae = AutoencoderKL(TINY_VAE)
+    vae_params = vae.init(k, jnp.zeros((1, 16, 16, 3)), k)
+    pipe = FlexPipeline(unet, unet_params, vae, vae_params,
+                        scheduler='pndm')
+
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.normal(size=(1, 77, 32)).astype(np.float32))
+    unc = jnp.asarray(rng.normal(size=(1, 77, 32)).astype(np.float32))
+    keys = seed_sweep_keys(1337, 8)
+    mesh = make_mesh(model_parallel=1)
+    images = sweep(pipe, emb, unc, keys, steps=2, init_size=(32, 32),
+                   mesh=mesh)
+    assert images.shape == (8, 32, 32, 3)
+    assert np.isfinite(images).all()
+    # Different seeds must give different images; identical seeds identical.
+    assert np.abs(images[0] - images[1]).max() > 1e-6
+    images2 = sweep(pipe, emb, unc, keys, steps=2, init_size=(32, 32),
+                    mesh=mesh)
+    np.testing.assert_array_equal(images, images2)
