@@ -54,12 +54,13 @@ class ResnetBlock(nn.Module):
     out_channels: int
     norm_groups: int
     dtype: jnp.dtype = jnp.float32
+    norm_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, temb: Array) -> Array:
         in_ch = x.shape[-1]
         gn = lambda name: nn.GroupNorm(self.norm_groups, epsilon=1e-5,
-                                       name=name, dtype=jnp.float32)
+                                       name=name, dtype=self.norm_dtype)
         conv = lambda name: nn.Conv(self.out_channels, (3, 3), padding=1,
                                     name=name, dtype=self.dtype)
         h = nn.silu(gn('norm1')(x)).astype(self.dtype)
@@ -183,6 +184,8 @@ class UNet2DCondition(nn.Module):
 
     config: UNetConfig
     dtype: jnp.dtype = jnp.float32
+    # Normalization compute dtype; fp32 by default for stat stability.
+    norm_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, latents: Array, t: Array, context: Array) -> Array:
@@ -205,6 +208,7 @@ class UNet2DCondition(nn.Module):
         for i, ch in enumerate(cfg.block_channels):
             for j in range(cfg.layers_per_block):
                 h = ResnetBlock(ch, cfg.norm_groups, dtype=self.dtype,
+                                norm_dtype=self.norm_dtype,
                                 name=f'down_{i}_res_{j}')(h, temb)
                 if cfg.attention_levels[i]:
                     h = Transformer2D(ch, cfg.num_heads,
@@ -219,11 +223,13 @@ class UNet2DCondition(nn.Module):
 
         mid_ch = cfg.block_channels[-1]
         h = ResnetBlock(mid_ch, cfg.norm_groups, dtype=self.dtype,
+                        norm_dtype=self.norm_dtype,
                         name='mid_res_0')(h, temb)
         h = Transformer2D(mid_ch, cfg.num_heads, cfg.transformer_depth,
                           cfg.norm_groups, dtype=self.dtype,
                           name='mid_attn')(h, context)
         h = ResnetBlock(mid_ch, cfg.norm_groups, dtype=self.dtype,
+                        norm_dtype=self.norm_dtype,
                         name='mid_res_1')(h, temb)
 
         for i, ch in enumerate(reversed(cfg.block_channels)):
@@ -231,6 +237,7 @@ class UNet2DCondition(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
                 h = ResnetBlock(ch, cfg.norm_groups, dtype=self.dtype,
+                                norm_dtype=self.norm_dtype,
                                 name=f'up_{i}_res_{j}')(h, temb)
                 if cfg.attention_levels[level]:
                     h = Transformer2D(ch, cfg.num_heads,

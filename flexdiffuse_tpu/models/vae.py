@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from flexdiffuse_tpu.models.configs import VAEConfig
-from flexdiffuse_tpu.ops.attention import xla_attention
+from flexdiffuse_tpu.ops.attention import attention
 
 Array = jax.Array
 
@@ -62,7 +62,10 @@ class VAEAttention(nn.Module):
         q = nn.Dense(c, name='to_q', dtype=self.dtype)(y)
         k = nn.Dense(c, name='to_k', dtype=self.dtype)(y)
         v = nn.Dense(c, name='to_v', dtype=self.dtype)(y)
-        out = xla_attention(q[:, None], k[:, None], v[:, None], c**-0.5)[:, 0]
+        # Routed through the dispatcher: at 512² decode this is a 4096-token
+        # single-head attention — the flash kernel avoids the 64MB score
+        # matrix; short sequences use the fused XLA path.
+        out = attention(q[:, None], k[:, None], v[:, None], c**-0.5)[:, 0]
         out = nn.Dense(c, name='to_out', dtype=self.dtype)(out)
         return residual + out.reshape(b, h, w, c)
 

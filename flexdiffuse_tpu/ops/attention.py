@@ -52,12 +52,21 @@ def attention(q: Array, k: Array, v: Array,
         scale = q.shape[-1]**-0.5
     backend = _BACKEND
     big = (q.shape[-2] >= FLASH_MIN_SEQ and k.shape[-2] >= FLASH_MIN_SEQ)
+    # The kernel needs block-divisible sequences; odd resolutions (e.g.
+    # 832² → seq 10816) fall back to the XLA path instead of failing.
+    divisible = (q.shape[-2] % min(512, q.shape[-2]) == 0
+                 and k.shape[-2] % min(512, k.shape[-2]) == 0)
+    # Head dims beyond one lane tile (128) blow the kernel's VMEM working
+    # set (e.g. the VAE's single 512-dim head at 4096 tokens) — XLA handles
+    # those shapes well; the flash win is for many small heads.
+    narrow = q.shape[-1] <= 128
+    eligible = big and divisible and narrow
     if backend == 'auto':
         backend = ('flash'
-                   if jax.default_backend() == 'tpu' and big else 'xla')
-    elif backend == 'flash' and not big:
-        # Forced flash still falls back for short sequences (cross-attention
-        # kv=77): there is no score matrix worth streaming there.
+                   if jax.default_backend() == 'tpu' and eligible else 'xla')
+    elif backend == 'flash' and not eligible:
+        # Forced flash still falls back for ineligible shapes (e.g.
+        # cross-attention kv=77): nothing to stream there.
         backend = 'xla'
     if backend == 'flash':
         from flexdiffuse_tpu.ops.flash_attention import flash_attention

@@ -1,9 +1,10 @@
 """Pipeline — the compiled denoising loop and guide-as-data conditioning."""
 from flexdiffuse_tpu.pipeline.flex import FlexPipeline, FlexPipelineOutput
 from flexdiffuse_tpu.pipeline.guides import (CompositeGuidance,
-                                             SimpleGuidance, entity_masks)
+                                             SimpleGuidance, entity_masks,
+                                             prompt_guidance)
 
 __all__ = [
     'FlexPipeline', 'FlexPipelineOutput', 'SimpleGuidance',
-    'CompositeGuidance', 'entity_masks'
+    'CompositeGuidance', 'entity_masks', 'prompt_guidance'
 ]

@@ -66,6 +66,15 @@ class SimpleGuidance(struct.PyTreeNode):
         return eps_u + self.guidance_scale * (eps_c - eps_u)
 
 
+def prompt_guidance(encoder, prompt, guidance_scale: float) -> SimpleGuidance:
+    """Convenience: build CFG guidance straight from a prompt (reference
+    ``PromptGuide`` pipeline/guide.py:67-72)."""
+    return SimpleGuidance(embeddings=encoder.prompt(prompt),
+                          uncond=encoder.prompt(''),
+                          guidance_scale=jnp.float32(guidance_scale),
+                          cfg=guidance_scale > 1.0)
+
+
 def entity_masks(entities: Sequence[Tuple[Tuple[int, int], Tuple[int, int]]],
                  latent_hw: Tuple[int, int]) -> Array:
     """Rect masks ``[E, h, w, 1]`` from (offset_blocks, size_blocks) pairs.

@@ -109,6 +109,8 @@ class Runner:
         self._key = jax.random.PRNGKey(0)
         self.output_dir = self.config.output_dir
         self.grid_dir = os.path.join(self.output_dir, 'grids')
+        from flexdiffuse_tpu.utils.profiling import PhaseTimer
+        self.timer = PhaseTimer()
 
     # ------------------------------------------------------------------
     def _set_seed(self, seed: Optional[int]) -> int:
@@ -199,15 +201,17 @@ class Runner:
                                 max_guidance=guide_max_guidance,
                                 header_max=guide_header_max, mode=guide_mode,
                                 reuse=guide_reuse)
-        embeds = self.guide.embeds(prompt=prompt, guide=guide,
-                                   mapping_concepts=mapping_concepts,
-                                   params=params)
+        with self.timer.phase('embeds'):
+            embeds = self.guide.embeds(prompt=prompt, guide=guide,
+                                       mapping_concepts=mapping_concepts,
+                                       params=params)
         guidance = SimpleGuidance(
             embeddings=embeds, uncond=self.encoder.prompt(''),
             guidance_scale=jnp.float32(guidance_scale),
             cfg=guidance_scale > 1.0)
-        return self._run(samples, guidance, init_image, init_size, strength,
-                         steps, debug, fp, save)
+        with self.timer.phase('generate'):
+            return self._run(samples, guidance, init_image, init_size,
+                             strength, steps, debug, fp, save)
 
     # ------------------------------------------------------------------
     def compose(self,
