@@ -23,7 +23,7 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument('--models', default='./models',
                    help='dir with HF snapshots of SD-1.4 and CLIP ViT-L/14')
     p.add_argument('--scheduler', default='pndm',
-                   choices=('ddim', 'pndm', 'lms'))
+                   choices=('ddim', 'pndm', 'lms', 'euler', 'dpmpp'))
 
 
 def _runner(args):
@@ -69,7 +69,8 @@ def cmd_generate(args) -> int:
         guide_header_max=args.header_max, guide_mode=args.mode,
         guide_reuse=not args.no_reuse, strength=args.strength,
         steps=args.steps, guidance_scale=args.guidance_scale,
-        samples=args.samples, seed=args.seed, debug=args.debug)
+        samples=args.samples, seed=args.seed, debug=args.debug,
+        negative_prompt=args.negative_prompt)
     print(f'{len(imgs)} image(s) written to {runner.output_dir}')
     return 0
 
@@ -114,6 +115,7 @@ def main(argv=None) -> int:
     p = sub.add_parser('generate', help='guided generation')
     _add_model_args(p)
     p.add_argument('--prompt', default='')
+    p.add_argument('--negative-prompt', default='')
     p.add_argument('--guide', default='',
                    help='guide image path or guide text')
     p.add_argument('--init-image', default='')

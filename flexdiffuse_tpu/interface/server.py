@@ -85,7 +85,8 @@ def handle_generate(payload: dict) -> dict:
         guidance_scale=float(p.get('guidance_scale', 8)),
         samples=samples,
         seed=int(p.get('seed', 0)) or None,
-        debug=debug)
+        debug=debug,
+        negative_prompt=p.get('negative_prompt', ''))
     return {'images': [_pil_to_b64(i) for i in imgs]}
 
 
@@ -136,6 +137,7 @@ table{border-collapse:collapse}td,th{border:1px solid #333;padding:4px}td input{
 <section id="sandbox">
  <fieldset>
   <label class="wide">Prompt<textarea id="prompt" rows="1"></textarea></label>
+  <label class="wide">Negative prompt<textarea id="negative_prompt" rows="1"></textarea></label>
   <label>Initial image<input type="file" id="init_image"></label>
   <label>Guide image<input type="file" id="guide_image"></label>
   <label>Guide text<input id="guide_text"></label>
@@ -203,7 +205,7 @@ async function post(url,body,gallery){const g=document.getElementById(gallery);
  const d=await r.json();
  g.innerHTML=d.error?('<pre>'+d.error+'</pre>'):d.images.map(i=>`<img src="${i}">`).join('')}
 async function generate(){const body={};
- for(const k of ['prompt','guide_text','mapping_concepts','strength','steps','threshold_mult',
+ for(const k of ['prompt','negative_prompt','guide_text','mapping_concepts','strength','steps','threshold_mult',
   'threshold_floor','samples','linear_start','linear_end','guidance_scale','clustered','seed',
   'max_guidance','header_max','height','width','guide_mode','reuse','debug'])body[k]=v(k);
  body.init_image=await file64('init_image');body.guide_image=await file64('guide_image');

@@ -64,11 +64,13 @@ class CLIPAttention(nn.Module):
 class CLIPMLP(nn.Module):
     hidden_size: int
     intermediate_size: int
+    activation: str = 'quick_gelu'
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         x = nn.Dense(self.intermediate_size, name='fc1', dtype=x.dtype)(x)
-        x = quick_gelu(x)
+        x = quick_gelu(x) if self.activation == 'quick_gelu' else nn.gelu(
+            x, approximate=False)
         return nn.Dense(self.hidden_size, name='fc2', dtype=x.dtype)(x)
 
 
@@ -76,6 +78,7 @@ class CLIPEncoderLayer(nn.Module):
     hidden_size: int
     num_heads: int
     intermediate_size: int
+    activation: str = 'quick_gelu'
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array]) -> Array:
@@ -83,6 +86,7 @@ class CLIPEncoderLayer(nn.Module):
         x = x + CLIPAttention(self.hidden_size, self.num_heads,
                               name='self_attn')(ln('layer_norm1')(x), mask)
         x = x + CLIPMLP(self.hidden_size, self.intermediate_size,
+                        activation=self.activation,
                         name='mlp')(ln('layer_norm2')(x))
         return x
 
@@ -92,13 +96,24 @@ class CLIPEncoder(nn.Module):
     num_layers: int
     num_heads: int
     intermediate_size: int
+    activation: str = 'quick_gelu'
 
     @nn.compact
-    def __call__(self, x: Array, mask: Optional[Array]) -> Array:
+    def __call__(self, x: Array, mask: Optional[Array],
+                 stop_at: int = 0) -> "Array | tuple":
+        """Runs all layers; also returns the hidden state ``stop_at`` layers
+        before the end (the CLIP-skip / penultimate tap SDXL conditions on)
+        when ``stop_at > 0``."""
+        tapped = None
         for i in range(self.num_layers):
+            if stop_at and i == self.num_layers - stop_at:
+                tapped = x
             x = CLIPEncoderLayer(self.hidden_size, self.num_heads,
                                  self.intermediate_size,
+                                 activation=self.activation,
                                  name=f'layers_{i}')(x, mask)
+        if stop_at:
+            return x, tapped
         return x
 
 
@@ -109,7 +124,13 @@ class CLIPTextModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids: Array) -> Array:
+    def __call__(self, input_ids: Array, output: str = 'final'):
+        """``output``: 'final' → post-LN last hidden state (SD1.x path,
+        reference encode/clip.py:64-65); 'penultimate' → the hidden state one
+        layer before the end, un-normalized (SDXL conditioning);
+        'penultimate_and_pooled' → ``(penultimate, pooled_projection)`` where
+        pooled is the EOS-position final state through ``text_projection``.
+        """
         cfg = self.config
         b, t = input_ids.shape
         tok = nn.Embed(cfg.vocab_size, cfg.hidden_size,
@@ -120,10 +141,25 @@ class CLIPTextModel(nn.Module):
         x = tok + pos[None, :t].astype(self.dtype)
         causal = jnp.triu(
             jnp.full((t, t), jnp.finfo(jnp.float32).min), k=1)[None, None]
-        x = CLIPEncoder(cfg.hidden_size, cfg.num_layers, cfg.num_heads,
-                        cfg.intermediate_size, name='encoder')(x, causal)
-        return nn.LayerNorm(epsilon=1e-5, name='final_layer_norm',
-                            dtype=self.dtype)(x)
+        enc = CLIPEncoder(cfg.hidden_size, cfg.num_layers, cfg.num_heads,
+                          cfg.intermediate_size, activation=cfg.activation,
+                          name='encoder')
+        if output == 'final':
+            x = enc(x, causal)
+            return nn.LayerNorm(epsilon=1e-5, name='final_layer_norm',
+                                dtype=self.dtype)(x)
+        x, penult = enc(x, causal, stop_at=1)
+        if output == 'penultimate':
+            return penult
+        assert output == 'penultimate_and_pooled'
+        final = nn.LayerNorm(epsilon=1e-5, name='final_layer_norm',
+                             dtype=self.dtype)(x)
+        # EOS pooling: argmax of ids finds the first EOS (highest token id).
+        eos = jnp.argmax(input_ids, axis=-1)
+        pooled = final[jnp.arange(b), eos]
+        pooled = nn.Dense(cfg.projection_dim, use_bias=False,
+                          name='text_projection', dtype=self.dtype)(pooled)
+        return penult, pooled
 
 
 class CLIPVisionModel(nn.Module):

@@ -14,6 +14,8 @@ class CLIPTextConfig:
     num_heads: int = 12
     max_positions: int = 77
     intermediate_size: int = 3072
+    activation: str = 'quick_gelu'  # OpenCLIP bigG (SDXL enc 2) uses 'gelu'
+    projection_dim: int = 0         # >0: text_projection for pooled output
 
 
 @dataclasses.dataclass(frozen=True)
@@ -37,18 +39,34 @@ class CLIPVisionConfig:
 
 @dataclasses.dataclass(frozen=True)
 class UNetConfig:
-    """SD v1.x UNet2DConditionModel geometry (CompVis/stable-diffusion-v1-4)."""
+    """UNet2DConditionModel geometry (SD v1.x defaults; SDXL via overrides)."""
     in_channels: int = 4
     out_channels: int = 4
     block_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
     layers_per_block: int = 2
     # Which down/up levels carry cross-attention transformer blocks
-    # (SD1.x: all but the innermost).
+    # (SD1.x: all but the innermost; SDXL: all but the outermost).
     attention_levels: Tuple[bool, ...] = (True, True, True, False)
     num_heads: int = 8
+    # SDXL derives head count from a fixed per-head width instead.
+    head_dim: int = 0  # 0 → use num_heads
     cross_attention_dim: int = 768
     norm_groups: int = 32
-    transformer_depth: int = 1
+    # Transformer depth per level (int → same at every level). SDXL: (0,2,10).
+    transformer_depth: Tuple[int, ...] | int = 1
+    # SDXL text_time additional embedding: pooled text embeds + micro-cond
+    # time_ids, projected into the timestep embedding.
+    addition_embed: bool = False
+    addition_time_embed_dim: int = 256
+    addition_pooled_dim: int = 1280
+
+    def depth_at(self, level: int) -> int:
+        if isinstance(self.transformer_depth, int):
+            return self.transformer_depth
+        return self.transformer_depth[level]
+
+    def heads_for(self, channels: int) -> int:
+        return channels // self.head_dim if self.head_dim else self.num_heads
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,4 +98,27 @@ TINY_VAE = VAEConfig(block_channels=(32, 32), layers_per_block=1,
 SD14_UNET = UNetConfig()
 SD14_VAE = VAEConfig()
 CLIP_VIT_L14_TEXT = CLIPTextConfig()
+# OpenCLIP ViT-bigG/14 text tower (SDXL's second encoder).
+OPENCLIP_BIGG_TEXT = CLIPTextConfig(hidden_size=1280, num_layers=32,
+                                    num_heads=20, intermediate_size=5120,
+                                    activation='gelu', projection_dim=1280)
+TINY_BIGG_TEXT = CLIPTextConfig(vocab_size=1000, hidden_size=24,
+                                num_layers=2, num_heads=4,
+                                intermediate_size=48, activation='gelu',
+                                projection_dim=24)
 CLIP_VIT_L14_VISION = CLIPVisionConfig()
+
+# SDXL-base geometry (stabilityai/stable-diffusion-xl-base-1.0): 3 levels,
+# heavy transformer stacks at the deep levels, 64-wide heads, dual-text-
+# encoder cross-attention (768+1280=2048), text_time additional embedding.
+SDXL_UNET = UNetConfig(block_channels=(320, 640, 1280),
+                       attention_levels=(False, True, True),
+                       transformer_depth=(0, 2, 10), head_dim=64,
+                       cross_attention_dim=2048, addition_embed=True)
+SDXL_VAE = VAEConfig()  # same architecture; weights/scaling differ (0.13025)
+
+TINY_SDXL_UNET = UNetConfig(block_channels=(32, 64), layers_per_block=1,
+                            attention_levels=(False, True),
+                            transformer_depth=(0, 2), head_dim=16,
+                            cross_attention_dim=48, norm_groups=8,
+                            addition_embed=True, addition_pooled_dim=24)

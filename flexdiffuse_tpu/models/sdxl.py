@@ -1,0 +1,135 @@
+"""SDXL backbone assembly — dual text encoders, conditioning, loading.
+
+The BASELINE.md stretch target ("SDXL backbone + batched multi-seed guidance
+sweep"). Everything reuses the generalized building blocks:
+:class:`UNet2DCondition` with ``SDXL_UNET`` geometry (verified: exactly
+2,567,463,684 params), the same :class:`AutoencoderKL` (SDXL scaling
+0.13025), and :class:`CLIPTextModel` in its penultimate/pooled output modes.
+
+Conditioning layout (matching stabilityai/stable-diffusion-xl-base-1.0):
+
+* context = concat(encoder-1 penultimate [77, 768],
+  encoder-2 penultimate [77, 1280]) → ``[77, 2048]``;
+* added cond = encoder-2 pooled projection [1280] + time_ids
+  ``[orig_h, orig_w, crop_top, crop_left, target_h, target_w]``.
+
+FlexDiffuse image guidance composes naturally: the tween blends CLIP-L image
+patches into the *encoder-1 slice* of the context (the 768-d half), leaving
+the bigG half untouched — the same embedding-manipulation API on an SDXL
+backbone.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from flexdiffuse_tpu.models.clip import CLIPTextModel
+from flexdiffuse_tpu.models.configs import (CLIP_VIT_L14_TEXT,
+                                            OPENCLIP_BIGG_TEXT, SDXL_UNET,
+                                            SDXL_VAE)
+
+Array = jax.Array
+
+SDXL_LATENT_SCALE = 0.13025
+# SDXL's second tokenizer pads with '!' (id 0), not EOS.
+PAD_ID_2 = 0
+
+
+class SDXLTextEncoder:
+    """Dual-encoder prompt encoding: ``encode() -> (ctx [B,77,2048],
+    pooled [B,1280])``."""
+
+    def __init__(self, enc1: CLIPTextModel, enc1_params, enc2: CLIPTextModel,
+                 enc2_params, tokenizer) -> None:
+        self.tokenizer = tokenizer
+        self._apply1 = jax.jit(enc1.apply, static_argnames=('output',))
+        self._apply2 = jax.jit(enc2.apply, static_argnames=('output',))
+        self._p1 = enc1_params
+        self._p2 = enc2_params
+
+    def encode(self, prompt: Union[str, List[str]]) -> Tuple[Array, Array]:
+        ids1 = jnp.asarray(self.tokenizer(prompt))
+        ids2 = jnp.asarray(self.tokenizer(prompt, pad_id=PAD_ID_2))
+        h1 = self._apply1(self._p1, ids1, output='penultimate')
+        h2, pooled = self._apply2(self._p2, ids2,
+                                  output='penultimate_and_pooled')
+        return jnp.concatenate([h1, h2], axis=-1), pooled
+
+    def prompt(self, prompt: Union[str, List[str]]) -> Array:
+        """Context-only convenience (matches the CLIPEncoder contract)."""
+        return self.encode(prompt)[0]
+
+
+def time_ids(original_size: Tuple[int, int] = (1024, 1024),
+             crop: Tuple[int, int] = (0, 0),
+             target_size: Tuple[int, int] = (1024, 1024)) -> Array:
+    """SDXL micro-conditioning ids ``[1, 6]``."""
+    return jnp.asarray([[*original_size, *crop, *target_size]], jnp.float32)
+
+
+def sdxl_guidance(encoder: SDXLTextEncoder,
+                  prompt: Union[str, List[str]],
+                  negative_prompt: str = '',
+                  guidance_scale: float = 5.0,
+                  size: Tuple[int, int] = (1024, 1024),
+                  embeddings: Optional[Array] = None):
+    """Build :class:`SimpleGuidance` for the SDXL UNet.
+
+    ``embeddings`` may override the context (e.g. a FlexDiffuse-tweened
+    ``[B, 77, 2048]`` stack) while pooled conditioning still comes from the
+    raw prompts.
+    """
+    from flexdiffuse_tpu.pipeline.guides import SimpleGuidance
+    ctx, pooled = encoder.encode(prompt)
+    if embeddings is not None:
+        ctx = embeddings
+    unc_ctx, unc_pooled = encoder.encode(negative_prompt or '')
+    return SimpleGuidance(
+        embeddings=ctx, uncond=unc_ctx[:1],
+        guidance_scale=jnp.float32(guidance_scale),
+        pooled=pooled, uncond_pooled=unc_pooled[:1],
+        time_ids=time_ids(size, (0, 0), size),
+        cfg=guidance_scale > 1.0)
+
+
+def tween_sdxl_context(tweener, ctx: Array, patch_embeddings: Array,
+                       l_dim: int = 768) -> Array:
+    """Apply FlexDiffuse image-guidance tweening to the CLIP-L half of an
+    SDXL context (the ``l_dim``-d slice patch embeddings are comparable
+    with); the bigG half is left untouched."""
+    l_half = ctx[..., :l_dim]
+    blended = tweener.tween(l_half, patch_embeddings)
+    return ctx.at[..., :l_dim].set(blended)
+
+
+def load_sdxl(model_dir: str, dtype=jnp.bfloat16):
+    """Load an ``stable-diffusion-xl-base-1.0`` snapshot dir.
+
+    Returns ``(unet, unet_params, vae, vae_params, text_encoder)`` ready for
+    ``FlexPipeline(..., latent_scale=SDXL_LATENT_SCALE)``.
+    """
+    from flexdiffuse_tpu.models.unet import UNet2DCondition
+    from flexdiffuse_tpu.models.vae import AutoencoderKL
+    from flexdiffuse_tpu.text.tokenizer import CLIPTokenizer
+    from flexdiffuse_tpu.weights import convert, load as wload
+
+    unet_sd = wload.load_state_dict(os.path.join(model_dir, 'unet'))
+    vae_sd = wload.load_state_dict(os.path.join(model_dir, 'vae'))
+    te1_sd = wload.load_state_dict(os.path.join(model_dir, 'text_encoder'))
+    te2_sd = wload.load_state_dict(os.path.join(model_dir, 'text_encoder_2'))
+
+    unet = UNet2DCondition(SDXL_UNET, dtype=dtype)
+    vae = AutoencoderKL(SDXL_VAE, dtype=dtype)
+    enc1 = CLIPTextModel(CLIP_VIT_L14_TEXT, dtype=dtype)
+    enc2 = CLIPTextModel(OPENCLIP_BIGG_TEXT, dtype=dtype)
+    tokenizer = CLIPTokenizer.from_dir(model_dir)
+
+    unet_params = {'params': convert.convert_unet(unet_sd, SDXL_UNET)}
+    vae_params = {'params': convert.convert_vae(vae_sd, SDXL_VAE)}
+    p1 = {'params': convert.convert_clip_text(te1_sd, CLIP_VIT_L14_TEXT)}
+    p2 = {'params': convert.convert_clip_text(te2_sd, OPENCLIP_BIGG_TEXT)}
+    text_encoder = SDXLTextEncoder(enc1, p1, enc2, p2, tokenizer)
+    return unet, unet_params, vae, vae_params, text_encoder

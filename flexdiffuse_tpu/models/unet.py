@@ -188,7 +188,11 @@ class UNet2DCondition(nn.Module):
     norm_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, latents: Array, t: Array, context: Array) -> Array:
+    def __call__(self, latents: Array, t: Array, context: Array,
+                 added_cond=None) -> Array:
+        """``added_cond`` (SDXL text_time conditioning): dict with
+        ``text_embeds [B, pooled_dim]`` and ``time_ids [B, 6]`` — pooled
+        second-encoder embeddings plus size/crop micro-conditioning."""
         cfg = self.config
         ch0 = cfg.block_channels[0]
         temb_dim = ch0 * 4
@@ -198,6 +202,20 @@ class UNet2DCondition(nn.Module):
                         dtype=self.dtype)(temb.astype(self.dtype))
         temb = nn.Dense(temb_dim, name='time_embed_2',
                         dtype=self.dtype)(nn.silu(temb))
+        if cfg.addition_embed:
+            assert added_cond is not None, (
+                'this UNet config requires added_cond (text_embeds, time_ids)')
+            b = latents.shape[0]
+            tid = added_cond['time_ids'].reshape(-1)
+            tid_emb = timestep_embedding(tid, cfg.addition_time_embed_dim)
+            tid_emb = tid_emb.reshape(b, -1)
+            add = jnp.concatenate(
+                [added_cond['text_embeds'].astype(jnp.float32), tid_emb],
+                axis=-1).astype(self.dtype)
+            add = nn.Dense(temb_dim, name='add_embed_1', dtype=self.dtype)(add)
+            add = nn.Dense(temb_dim, name='add_embed_2',
+                           dtype=self.dtype)(nn.silu(add))
+            temb = temb + add
 
         x = latents.astype(self.dtype)
         h = nn.Conv(ch0, (3, 3), padding=1, name='conv_in',
@@ -211,8 +229,8 @@ class UNet2DCondition(nn.Module):
                                 norm_dtype=self.norm_dtype,
                                 name=f'down_{i}_res_{j}')(h, temb)
                 if cfg.attention_levels[i]:
-                    h = Transformer2D(ch, cfg.num_heads,
-                                      cfg.transformer_depth, cfg.norm_groups,
+                    h = Transformer2D(ch, cfg.heads_for(ch),
+                                      cfg.depth_at(i), cfg.norm_groups,
                                       dtype=self.dtype,
                                       name=f'down_{i}_attn_{j}')(h, context)
                 skips.append(h)
@@ -225,7 +243,8 @@ class UNet2DCondition(nn.Module):
         h = ResnetBlock(mid_ch, cfg.norm_groups, dtype=self.dtype,
                         norm_dtype=self.norm_dtype,
                         name='mid_res_0')(h, temb)
-        h = Transformer2D(mid_ch, cfg.num_heads, cfg.transformer_depth,
+        h = Transformer2D(mid_ch, cfg.heads_for(mid_ch),
+                          cfg.depth_at(len(cfg.block_channels) - 1),
                           cfg.norm_groups, dtype=self.dtype,
                           name='mid_attn')(h, context)
         h = ResnetBlock(mid_ch, cfg.norm_groups, dtype=self.dtype,
@@ -240,8 +259,8 @@ class UNet2DCondition(nn.Module):
                                 norm_dtype=self.norm_dtype,
                                 name=f'up_{i}_res_{j}')(h, temb)
                 if cfg.attention_levels[level]:
-                    h = Transformer2D(ch, cfg.num_heads,
-                                      cfg.transformer_depth, cfg.norm_groups,
+                    h = Transformer2D(ch, cfg.heads_for(ch),
+                                      cfg.depth_at(level), cfg.norm_groups,
                                       dtype=self.dtype,
                                       name=f'up_{i}_attn_{j}')(h, context)
             if i != num_levels - 1:

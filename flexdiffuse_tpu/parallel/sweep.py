@@ -62,7 +62,7 @@ def sweep(pipe: FlexPipeline,
     # Per-seed initial latents: vmapped key → normal draw.
     latents = jax.vmap(
         lambda k: jax.random.normal(k, (h, w, c), jnp.float32))(seeds_key)
-    if schedule.kind == 'lms':
+    if schedule.kind in ('lms', 'euler'):
         latents = latents * schedule.sigmas[0]
 
     guidance = SimpleGuidance(embeddings=emb, uncond=uncond,

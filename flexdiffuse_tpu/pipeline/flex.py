@@ -69,8 +69,8 @@ class FlexPipeline:
 
     def __init__(self, unet, unet_params, vae, vae_params,
                  scheduler: str = 'pndm',
-                 scheduler_config: Optional[schedulers.SchedulerConfig] = None
-                 ) -> None:
+                 scheduler_config: Optional[schedulers.SchedulerConfig] = None,
+                 latent_scale: float = LATENT_SCALE) -> None:
         self.unet = unet
         self.unet_params = unet_params
         self.vae = vae
@@ -80,15 +80,17 @@ class FlexPipeline:
         self._schedules: dict = {}
         self.latent_channels = vae.config.latent_channels
         self.vae_scale = 2**(len(vae.config.block_channels) - 1)
+        self.latent_scale = latent_scale
 
         unet_apply = unet.apply
         vae_apply = vae.apply
+        latent_scale = self.latent_scale
 
         @functools.partial(jax.jit, static_argnames=('debug',))
         def _sample(unet_params, schedule, state0, guidance, latents,
                     t_start, eta, key, debug=False):
-            def noise_fn(lat, t, ctx):
-                return unet_apply(unet_params, lat, t, ctx)
+            def noise_fn(lat, t, ctx, added=None):
+                return unet_apply(unet_params, lat, t, ctx, added)
 
             def body(carry, i):
                 lat, state, k = carry
@@ -123,13 +125,13 @@ class FlexPipeline:
                                      method=type(vae).encode)
             z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
                 key, mean.shape, jnp.float32)
-            return z * LATENT_SCALE
+            return z * latent_scale
 
         self._encode = _encode
 
         @jax.jit
         def _decode(vae_params, latents):
-            img = vae_apply(vae_params, latents / LATENT_SCALE,
+            img = vae_apply(vae_params, latents / latent_scale,
                             method=type(vae).decode)
             return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
 
@@ -203,7 +205,7 @@ class FlexPipeline:
                 k_noise,
                 (batch_size, height // f, width // f, self.latent_channels),
                 jnp.float32)
-            if schedule.kind == 'lms':
+            if schedule.kind in ('lms', 'euler'):
                 latents = latents * schedule.sigmas[0]
             t_start = 0
 

@@ -44,11 +44,28 @@ class SimpleGuidance(struct.PyTreeNode):
     embeddings: Array
     uncond: Array
     guidance_scale: Array
+    # SDXL text_time conditioning (None for SD1.x): pooled second-encoder
+    # embeddings + size/crop micro-conditioning time_ids.
+    pooled: Optional[Array] = None
+    uncond_pooled: Optional[Array] = None
+    time_ids: Optional[Array] = None
     cfg: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def batch_size(self) -> int:
         return self.embeddings.shape[0]
+
+    def _added(self, n: int, with_uncond: bool):
+        if self.pooled is None:
+            return None
+        b = self.batch_size
+        pooled = jnp.broadcast_to(self.pooled,
+                                  (b,) + self.pooled.shape[1:])
+        if with_uncond:
+            up = jnp.broadcast_to(self.uncond_pooled, pooled.shape)
+            pooled = jnp.concatenate([up, pooled])
+        tids = jnp.broadcast_to(self.time_ids, (n, self.time_ids.shape[-1]))
+        return {'text_embeds': pooled, 'time_ids': tids}
 
     def noise_pred(self, noise_fn: NoiseFn, latents: Array, t: Array,
                    progress: Array = 0.0) -> Array:
@@ -56,12 +73,13 @@ class SimpleGuidance(struct.PyTreeNode):
         b = self.batch_size
         if not self.cfg:
             return noise_fn(latents, jnp.broadcast_to(t, (b,)),
-                            self.embeddings)
+                            self.embeddings, self._added(b, False))
         ctx = jnp.concatenate(
             [jnp.broadcast_to(self.uncond,
                               self.embeddings.shape), self.embeddings])
         lat2 = jnp.concatenate([latents, latents])
-        eps = noise_fn(lat2, jnp.broadcast_to(t, (2 * b,)), ctx)
+        eps = noise_fn(lat2, jnp.broadcast_to(t, (2 * b,)), ctx,
+                       self._added(2 * b, True))
         eps_u, eps_c = jnp.split(eps, 2)
         return eps_u + self.guidance_scale * (eps_c - eps_u)
 

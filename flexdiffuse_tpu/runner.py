@@ -176,8 +176,13 @@ class Runner:
             samples: int = 1,
             seed: Optional[int] = None,
             debug: bool = False,
-            save: bool = True):
-        """Guided generation (reference ``Runner.gen`` utils.py:114-166)."""
+            save: bool = True,
+            negative_prompt: str = ''):
+        """Guided generation (reference ``Runner.gen`` utils.py:114-166).
+
+        ``negative_prompt`` replaces the empty-string unconditional embedding
+        in classifier-free guidance (an addition over the reference, which
+        always uses '' — pipeline/guide.py:30)."""
         fp = f'i2i_ds{int(strength * 100)}' if init_image is not None \
             else 't2i'
         if guide is not None and not (isinstance(guide, str) and not guide):
@@ -206,7 +211,8 @@ class Runner:
                                        mapping_concepts=mapping_concepts,
                                        params=params)
         guidance = SimpleGuidance(
-            embeddings=embeds, uncond=self.encoder.prompt(''),
+            embeddings=embeds,
+            uncond=self.encoder.prompt(negative_prompt or ''),
             guidance_scale=jnp.float32(guidance_scale),
             cfg=guidance_scale > 1.0)
         with self.timer.phase('generate'):

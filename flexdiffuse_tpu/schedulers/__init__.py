@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 
 from flexdiffuse_tpu.schedulers import ddim as _ddim
+from flexdiffuse_tpu.schedulers import dpmpp as _dpmpp
+from flexdiffuse_tpu.schedulers import euler as _euler
 from flexdiffuse_tpu.schedulers import lms as _lms
 from flexdiffuse_tpu.schedulers import pndm as _pndm
 from flexdiffuse_tpu.schedulers.base import (Schedule, SchedulerConfig,
@@ -23,7 +25,8 @@ from flexdiffuse_tpu.schedulers.base import (Schedule, SchedulerConfig,
                                              ddim_like_add_noise,
                                              init_timestep_info, make_betas)
 
-_KINDS = {'ddim': _ddim, 'pndm': _pndm, 'lms': _lms}
+_KINDS = {'ddim': _ddim, 'pndm': _pndm, 'lms': _lms,
+          'euler': _euler, 'dpmpp': _dpmpp}
 
 Array = jax.Array
 
@@ -43,6 +46,8 @@ def init_state(schedule: Schedule, latent_shape, dtype) -> tuple:
 def scale_model_input(schedule: Schedule, sample: Array, i: Array) -> Array:
     if schedule.kind == 'lms':
         return _lms.scale_model_input(schedule, sample, i)
+    if schedule.kind == 'euler':
+        return _euler.scale_model_input(schedule, sample, i)
     return sample
 
 
@@ -61,9 +66,10 @@ def add_noise(schedule: Schedule, sample: Array, noise: Array,
     the sigma table (flex.py:200-204); DDIM/PNDM use the timestep *value*
     ``timesteps[-init_timestep]`` (flex.py:206-209).
     """
-    if schedule.kind == 'lms':
-        return _lms.add_noise(schedule, sample, noise,
-                              schedule.num_steps - init_timestep)
+    if schedule.kind in ('lms', 'euler'):
+        mod = _lms if schedule.kind == 'lms' else _euler
+        return mod.add_noise(schedule, sample, noise,
+                             schedule.num_steps - init_timestep)
     t = schedule.timesteps[-init_timestep]
     return ddim_like_add_noise(schedule, sample, noise, t)
 

@@ -129,14 +129,17 @@ class CLIPTokenizer:
         return ids
 
     def __call__(self, prompts: Union[str, Sequence[str]],
-                 max_length: int | None = None) -> np.ndarray:
-        """Tokenize to ``[B, max_length]`` int32 with BOS/EOS + EOS-padding
-        and truncation (matching HF CLIPTokenizer padding='max_length')."""
+                 max_length: int | None = None,
+                 pad_id: int | None = None) -> np.ndarray:
+        """Tokenize to ``[B, max_length]`` int32 with BOS/EOS + padding and
+        truncation (matching HF CLIPTokenizer padding='max_length'). Default
+        padding is EOS; SDXL's second tokenizer pads with id 0 (``pad_id``).
+        """
         if isinstance(prompts, str):
             prompts = [prompts]
         max_length = max_length or self.model_max_length
-        out = np.full((len(prompts), max_length), self.eos_token_id,
-                      np.int32)
+        fill = self.eos_token_id if pad_id is None else pad_id
+        out = np.full((len(prompts), max_length), fill, np.int32)
         for r, p in enumerate(prompts):
             ids = [self.bos_token_id] + self.encode(p)
             ids = ids[:max_length - 1] + [self.eos_token_id]
@@ -150,20 +153,23 @@ class FakeTokenizer:
     def __init__(self, vocab_size: int = 1000) -> None:
         self.vocab_size = vocab_size
         self.model_max_length = MODEL_MAX_LENGTH
-        self.bos_token_id = 0
-        self.eos_token_id = 1
+        # Mirror real CLIP: BOS/EOS are the two highest ids, so the
+        # argmax-of-ids EOS pooling convention holds.
+        self.bos_token_id = vocab_size - 2
+        self.eos_token_id = vocab_size - 1
 
     def __call__(self, prompts: Union[str, Sequence[str]],
-                 max_length: int | None = None) -> np.ndarray:
+                 max_length: int | None = None,
+                 pad_id: int | None = None) -> np.ndarray:
         if isinstance(prompts, str):
             prompts = [prompts]
         max_length = max_length or self.model_max_length
-        out = np.full((len(prompts), max_length), self.eos_token_id,
-                      np.int32)
+        fill = self.eos_token_id if pad_id is None else pad_id
+        out = np.full((len(prompts), max_length), fill, np.int32)
         for r, p in enumerate(prompts):
             words = _whitespace_clean(p).lower().split()
             ids = [self.bos_token_id] + [
-                2 + (abs(hash(w)) % (self.vocab_size - 2)) for w in words
+                2 + (abs(hash(w)) % (self.vocab_size - 4)) for w in words
             ]
             ids = ids[:max_length - 1] + [self.eos_token_id]
             out[r, :len(ids)] = ids

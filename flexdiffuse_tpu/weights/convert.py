@@ -68,9 +68,12 @@ def _clip_encoder(sd: SD, prefix: str, num_layers: int) -> dict:
 
 
 def convert_clip_text(sd: SD, config: CLIPTextConfig) -> dict:
-    """``text_model.*`` of an HF CLIPModel → :class:`CLIPTextModel` params."""
+    """``text_model.*`` of an HF CLIPModel → :class:`CLIPTextModel` params.
+
+    Also maps ``text_projection`` when present (SDXL's second encoder is a
+    ``CLIPTextModelWithProjection``)."""
     p = 'text_model'
-    return {
+    out = {
         'token_embedding': {
             'embedding':
                 np.asarray(sd[f'{p}.embeddings.token_embedding.weight'])
@@ -80,6 +83,11 @@ def convert_clip_text(sd: SD, config: CLIPTextConfig) -> dict:
         'encoder': _clip_encoder(sd, f'{p}.encoder', config.num_layers),
         'final_layer_norm': _norm(sd, f'{p}.final_layer_norm'),
     }
+    if 'text_projection.weight' in sd:
+        out['text_projection'] = {
+            'kernel': np.asarray(sd['text_projection.weight']).T
+        }
+    return out
 
 
 def convert_clip_vision(sd: SD, config: CLIPVisionConfig) -> dict:
@@ -158,6 +166,9 @@ def convert_unet(sd: SD, config: UNetConfig) -> dict:
         'norm_out': _norm(sd, 'conv_norm_out'),
         'conv_out': _conv(sd, 'conv_out'),
     }
+    if config.addition_embed:
+        out['add_embed_1'] = _dense(sd, 'add_embedding.linear_1')
+        out['add_embed_2'] = _dense(sd, 'add_embedding.linear_2')
     n = len(config.block_channels)
     for i in range(n):
         for j in range(config.layers_per_block):
@@ -166,7 +177,7 @@ def convert_unet(sd: SD, config: UNetConfig) -> dict:
             if config.attention_levels[i]:
                 out[f'down_{i}_attn_{j}'] = _transformer2d(
                     sd, f'down_blocks.{i}.attentions.{j}',
-                    config.transformer_depth)
+                    config.depth_at(i))
         if i != n - 1:
             out[f'down_{i}_downsample'] = {
                 'conv': _conv(sd, f'down_blocks.{i}.downsamplers.0.conv')
@@ -174,7 +185,7 @@ def convert_unet(sd: SD, config: UNetConfig) -> dict:
     out['mid_res_0'] = _resnet(sd, 'mid_block.resnets.0')
     out['mid_res_1'] = _resnet(sd, 'mid_block.resnets.1')
     out['mid_attn'] = _transformer2d(sd, 'mid_block.attentions.0',
-                                     config.transformer_depth)
+                                     config.depth_at(n - 1))
     for i in range(n):
         level = n - 1 - i
         for j in range(config.layers_per_block + 1):
@@ -182,7 +193,7 @@ def convert_unet(sd: SD, config: UNetConfig) -> dict:
             if config.attention_levels[level]:
                 out[f'up_{i}_attn_{j}'] = _transformer2d(
                     sd, f'up_blocks.{i}.attentions.{j}',
-                    config.transformer_depth)
+                    config.depth_at(level))
         if i != n - 1:
             out[f'up_{i}_upsample'] = {
                 'conv': _conv(sd, f'up_blocks.{i}.upsamplers.0.conv')

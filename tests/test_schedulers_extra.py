@@ -1,0 +1,107 @@
+"""Euler + DPM-Solver++ 2M scheduler tests (additions over the reference trio)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flexdiffuse_tpu import schedulers
+
+SHAPE = (1, 4, 8, 8)
+
+
+def test_registry_has_new_kinds():
+    for kind in ('euler', 'dpmpp'):
+        sch = schedulers.make(kind, 10)
+        assert sch.length == 10
+
+
+def test_euler_perfect_model_recovers_x0():
+    """With ε = (x − x₀)/σ the Euler chain lands exactly on x₀."""
+    sch = schedulers.make('euler', 20)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.uniform(-0.5, 0.5, SHAPE).astype(np.float32))
+    noise = jnp.asarray(rng.normal(size=SHAPE).astype(np.float32))
+    x = x0 + noise * sch.sigmas[0]
+    for i in range(20):
+        sigma = sch.sigmas[i]
+        eps = (x - x0) / sigma
+        _, x = schedulers.step(sch, (), eps, jnp.int32(i), jnp.int32(i), x)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-4)
+
+
+def test_dpmpp_perfect_model_recovers_x0():
+    """With the exact ε for a fixed x₀ the DPM++ chain converges to x₀."""
+    sch = schedulers.make('dpmpp', 12)
+    rng = np.random.default_rng(1)
+    x0 = jnp.asarray(rng.uniform(-0.5, 0.5, SHAPE).astype(np.float32))
+    noise = jnp.asarray(rng.normal(size=SHAPE).astype(np.float32))
+    x = sch.vp_alpha[0] * x0 + sch.vp_sigma[0] * noise
+    state = schedulers.init_state(sch, SHAPE, jnp.float32)
+    for i in range(12):
+        eps = (x - sch.vp_alpha[i] * x0) / sch.vp_sigma[i]
+        state, x = schedulers.step(sch, state, eps, jnp.int32(i),
+                                   jnp.int32(i), x)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-3)
+
+
+def test_dpmpp_second_order_uses_history():
+    """Step 1..L-2 must depend on the previous x₀ (true multistep)."""
+    sch = schedulers.make('dpmpp', 8)
+    x = jnp.ones(SHAPE)
+    eps = jnp.full(SHAPE, 0.3)
+    s_a = (jnp.zeros(SHAPE),)
+    s_b = (jnp.full(SHAPE, 5.0),)
+    _, a = schedulers.step(sch, s_a, eps, jnp.int32(3), jnp.int32(3), x)
+    _, b = schedulers.step(sch, s_b, eps, jnp.int32(3), jnp.int32(3), x)
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6
+    # First step (counter 0) must NOT use the bogus initial history.
+    _, a0 = schedulers.step(sch, s_a, eps, jnp.int32(0), jnp.int32(0), x)
+    _, b0 = schedulers.step(sch, s_b, eps, jnp.int32(0), jnp.int32(0), x)
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(b0))
+
+
+def test_dpmpp_final_step_returns_x0_pred():
+    sch = schedulers.make('dpmpp', 6)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=SHAPE).astype(np.float32))
+    eps = jnp.asarray(rng.normal(size=SHAPE).astype(np.float32))
+    i = 5
+    state = (jnp.zeros(SHAPE),)
+    _, out = schedulers.step(sch, state, eps, jnp.int32(i), jnp.int32(i), x)
+    x0 = (x - sch.vp_sigma[i] * eps) / sch.vp_alpha[i]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-5)
+
+
+@pytest.mark.parametrize('kind', ['euler', 'dpmpp'])
+def test_img2img_noising(kind):
+    sch = schedulers.make(kind, 30)
+    it, ts = schedulers.init_timestep_info(sch, 0.6, 30)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=SHAPE).astype(np.float32))
+    n = jnp.asarray(rng.normal(size=SHAPE).astype(np.float32))
+    noisy = schedulers.add_noise(sch, x, n, it)
+    assert np.isfinite(np.asarray(noisy)).all()
+
+
+def test_pipeline_runs_with_new_schedulers():
+    from flexdiffuse_tpu.models import (AutoencoderKL, TINY_UNET, TINY_VAE,
+                                        UNet2DCondition)
+    from flexdiffuse_tpu.pipeline import FlexPipeline, SimpleGuidance
+
+    k = jax.random.PRNGKey(0)
+    unet = UNet2DCondition(TINY_UNET)
+    up = unet.init(k, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+                   jnp.zeros((1, 77, 32)))
+    vae = AutoencoderKL(TINY_VAE)
+    vp = vae.init(k, jnp.zeros((1, 16, 16, 3)), k)
+    rng = np.random.default_rng(0)
+    g = SimpleGuidance(
+        embeddings=jnp.asarray(rng.normal(size=(1, 77, 32)).astype(
+            np.float32)),
+        uncond=jnp.asarray(rng.normal(size=(1, 77, 32)).astype(np.float32)),
+        guidance_scale=jnp.float32(8.0), cfg=True)
+    for kind in ('euler', 'dpmpp'):
+        pipe = FlexPipeline(unet, up, vae, vp, scheduler=kind)
+        out = pipe(g, steps=3, init_size=(64, 64), output_type='np',
+                   key=jax.random.PRNGKey(1))
+        assert np.isfinite(out.images).all(), kind
