@@ -35,6 +35,33 @@ def _runner(args):
                   scheduler=args.scheduler)
 
 
+def cmd_download(args) -> int:
+    """Download HF snapshots (the reference's --dl flag, utils.py:59-66).
+
+    Requires network egress + huggingface_hub; prints a clear error when
+    offline (zero-egress environments convert pre-downloaded snapshots
+    instead)."""
+    from flexdiffuse_tpu.config import RunConfig
+    cfg = RunConfig()
+    try:
+        from huggingface_hub import snapshot_download
+    except ImportError:
+        print('huggingface_hub is not installed; download the snapshots '
+              'manually and run `convert`.', file=sys.stderr)
+        return 1
+    for repo in (cfg.sd_model, cfg.clip_model):
+        dest = os.path.join(args.models, repo.split('/')[-1])
+        print(f'downloading {repo} -> {dest}')
+        try:
+            snapshot_download(repo, local_dir=dest)
+        except Exception as ex:
+            print(f'download failed ({type(ex).__name__}): no network '
+                  'egress? Place the snapshots manually and run `convert`.',
+                  file=sys.stderr)
+            return 1
+    return cmd_convert(args)
+
+
 def cmd_convert(args) -> int:
     """One-time weight conversion; caches msgpack beside the snapshots."""
     from flexdiffuse_tpu.config import RunConfig
@@ -111,6 +138,12 @@ def main(argv=None) -> int:
     p = sub.add_parser('convert', help='convert HF checkpoints to pytrees')
     p.add_argument('--models', default='./models')
     p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser('download',
+                       help='download HF snapshots then convert (needs '
+                            'network egress)')
+    p.add_argument('--models', default='./models')
+    p.set_defaults(fn=cmd_download)
 
     p = sub.add_parser('generate', help='guided generation')
     _add_model_args(p)

@@ -112,7 +112,8 @@ def handle_compose(payload: dict) -> dict:
         guidance_scale=float(p.get('guidance_scale', 8.0)),
         init_size=(int(p.get('height', 512)), int(p.get('width', 512))),
         seed=int(p.get('seed', 1337)) or None,
-        debug=debug)
+        debug=debug,
+        style_strength=float(p.get('style_strength', 0.0)))
     return {'images': [_pil_to_b64(i) for i in imgs]}
 
 
@@ -173,6 +174,7 @@ table{border-collapse:collapse}td,th{border:1px solid #333;padding:4px}td input{
   <label>End style<input id="end_style" value="Painting"></label>
   <label>Style blend start<input id="style_blend_start" type="number" step="0.01" value="0"></label>
   <label>Style blend end<input id="style_blend_end" type="number" step="0.01" value="1"></label>
+  <label>Style strength (0 = reference behavior)<input id="style_strength" type="number" step="0.01" value="0"></label>
   <label>Initial image<input type="file" id="c_init_image"></label>
   <label>Batches<input id="c_samples" type="number" value="4"></label>
   <label>Strength<input id="c_strength" type="number" step="0.01" value="0.7"></label>
@@ -214,7 +216,7 @@ async function compose(){const rows=[...document.querySelectorAll('#entities tr'
  .map(tr=>[...tr.querySelectorAll('input')].map(i=>i.value));
  const body={entities:rows};
  for(const[k,id] of [['bg_prompt','bg_prompt'],['start_style','start_style'],['end_style','end_style'],
-  ['style_blend_start','style_blend_start'],['style_blend_end','style_blend_end'],['samples','c_samples'],
+  ['style_blend_start','style_blend_start'],['style_blend_end','style_blend_end'],['style_strength','style_strength'],['samples','c_samples'],
   ['strength','c_strength'],['steps','c_steps'],['guidance_scale','c_guidance_scale'],
   ['height','c_height'],['width','c_width'],['seed','c_seed']])body[k]=v(id);
  body.init_image=await file64('c_init_image');

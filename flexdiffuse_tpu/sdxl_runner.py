@@ -1,0 +1,117 @@
+"""SDXLRunner — orchestration for the SDXL backbone (stretch config).
+
+Mirrors :class:`flexdiffuse_tpu.runner.Runner`'s surface for the SDXL model
+family: prompt/negative-prompt generation, FlexDiffuse image guidance (the
+tween applies to the CLIP-L half of the dual-encoder context — the 768-d
+slice CLIP image patches are comparable with), seeding, provenance
+filenames and grids. Composition is SD1.x-only for now (the reference's
+composition mode predates SDXL).
+
+Image guidance needs the CLIP ViT-L/14 *vision* tower, which the SDXL
+snapshot does not ship — pass ``clip_root`` (the reference's
+``openai/clip-vit-large-patch14`` snapshot) to enable it.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from flexdiffuse_tpu.config import (MAX_SEED, GuidanceParams, clamp_seed)
+from flexdiffuse_tpu.guidance.tween import Tweener
+from flexdiffuse_tpu.models.sdxl import (SDXL_LATENT_SCALE, load_sdxl,
+                                         sdxl_guidance, tween_sdxl_context)
+from flexdiffuse_tpu.pipeline import FlexPipeline
+from flexdiffuse_tpu.utils.image import clip_preprocess, image_grid
+
+log = logging.getLogger(__name__)
+
+
+class SDXLRunner:
+    def __init__(self, model_root: str, clip_root: Optional[str] = None,
+                 scheduler: str = 'dpmpp', dtype=jnp.bfloat16,
+                 output_dir: str = './outputs') -> None:
+        unet, unet_params, vae, vae_params, text = load_sdxl(
+            model_root, dtype=dtype)
+        self.text = text
+        self.pipe = FlexPipeline(unet, unet_params, vae, vae_params,
+                                 scheduler=scheduler,
+                                 latent_scale=SDXL_LATENT_SCALE)
+        self.vision = None
+        if clip_root:
+            from flexdiffuse_tpu.models.clip import CLIPVisionModel
+            from flexdiffuse_tpu.models.configs import CLIP_VIT_L14_VISION
+            from flexdiffuse_tpu.weights import load as wload
+            _, vision_params = wload.load_clip(clip_root)
+            model = CLIPVisionModel(CLIP_VIT_L14_VISION, dtype=dtype)
+            self.vision = (jax.jit(model.apply), vision_params)
+        self.output_dir = output_dir
+        self._key = jax.random.PRNGKey(0)
+
+    # ------------------------------------------------------------------
+    def _set_seed(self, seed: Optional[int]) -> None:
+        seed = clamp_seed(seed)
+        if seed is None:
+            seed = int(np.random.default_rng().integers(0, MAX_SEED))
+        self._key = jax.random.PRNGKey(seed)
+
+    def _patches(self, guide: Image.Image) -> jax.Array:
+        assert self.vision is not None, (
+            'image guidance requires clip_root (CLIP ViT-L/14 snapshot)')
+        apply, params = self.vision
+        return apply(params, jnp.asarray(clip_preprocess(guide)))
+
+    # ------------------------------------------------------------------
+    def gen(self,
+            prompt: Union[str, List[str]] = '',
+            negative_prompt: str = '',
+            guide: Optional[Image.Image] = None,
+            guidance_params: GuidanceParams = GuidanceParams.ui_defaults(),
+            init_image: Optional[Image.Image] = None,
+            init_size: Tuple[int, int] = (1024, 1024),
+            strength: float = 0.6,
+            steps: int = 25,
+            guidance_scale: float = 5.0,
+            samples: int = 1,
+            seed: Optional[int] = None,
+            save: bool = True):
+        """SDXL generation with optional FlexDiffuse image guidance."""
+        self._set_seed(seed)
+        g = sdxl_guidance(self.text, prompt, negative_prompt,
+                          guidance_scale, size=init_size)
+        if guide is not None:
+            patches = self._patches(guide)
+            tweener = Tweener(guidance_params)
+            ctx = tween_sdxl_context(tweener, g.embeddings, patches)
+            g = g.replace(embeddings=ctx)
+
+        fp = (f'{"xli2i" if init_image is not None else "xlt2i"}'
+              f'_st{steps}_gs{int(guidance_scale)}')
+        if seed:
+            fp += f'_se{seed}'
+        all_images: List[Image.Image] = []
+        if save:
+            os.makedirs(os.path.join(self.output_dir, 'grids'), exist_ok=True)
+        for b in range(samples):
+            self._key, sub = jax.random.split(self._key)
+            t0 = time.time()
+            out = self.pipe(g, steps=steps, init_image=init_image,
+                            init_size=init_size, strength=strength, key=sub)
+            log.info('sdxl batch %d/%d in %.2fs', b + 1, samples,
+                     time.time() - t0)
+            if save:
+                ms = int(time.time() * 1000)
+                for i, img in enumerate(out.images):
+                    img.save(f'{self.output_dir}/{ms:>013d}_{i:>02d}_{fp}.png')
+            all_images.extend(out.images)
+        grid = image_grid(all_images)
+        if save:
+            ms = int(time.time() * 1000)
+            grid.save(f'{self.output_dir}/grids/{ms:>013d}_{fp}.png')
+        return all_images, grid

@@ -131,3 +131,26 @@ def test_runner_compose(tiny_runner):
                      ['bad', 'x', 0, 0, 0, 'y']],    # unparsable: skipped
         steps=3, batches=1, init_size=(64, 64), seed=3, save=False)
     assert len(imgs) == 1
+
+
+def test_clip_encoder_facade(tiny_runner):
+    """CLIPEncoder: prompt batching and preprocessed-array image path."""
+    import numpy as np
+    enc = tiny_runner.encoder
+    out = enc.prompt(['a deer', 'a bear'])
+    assert out.shape[0] == 2 and out.shape[1] == 77
+    img = np.random.default_rng(0).normal(size=(1, 32, 32, 3)).astype(
+        np.float32)
+    emb = enc.image(img)
+    assert emb.shape[0] == 1 and emb.shape[1] == 17  # cls + 16 patches
+
+
+def test_runner_negative_prompt_changes_output(tiny_runner):
+    a, _ = tiny_runner.gen(prompt='a deer', steps=3, init_size=(64, 64),
+                           samples=1, seed=5, save=False)
+    b, _ = tiny_runner.gen(prompt='a deer', negative_prompt='blurry mess',
+                           steps=3, init_size=(64, 64), samples=1, seed=5,
+                           save=False)
+    import numpy as np
+    assert np.abs(np.asarray(a[0], np.float32) -
+                  np.asarray(b[0], np.float32)).max() > 0

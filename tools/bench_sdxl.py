@@ -1,0 +1,87 @@
+"""SDXL-base 1024² denoise-loop bench on one chip (stretch config).
+
+Real SDXL geometry (2.57B params, bf16), random weights, CFG-doubled UNet +
+DPM-Solver++ update per step in one ``lax.scan``. Fetch-timed (see
+.claude/skills/verify timing notes). Run: ``python tools/bench_sdxl.py``.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, '/root/repo')
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flexdiffuse_tpu import schedulers
+from flexdiffuse_tpu.models.configs import SDXL_UNET
+from flexdiffuse_tpu.models.unet import UNet2DCondition
+
+STEPS = 8
+IMAGE = 1024
+
+
+def main() -> None:
+    print('devices:', jax.devices())
+    unet = UNet2DCondition(SDXL_UNET, dtype=jnp.bfloat16)
+    hw = IMAGE // 8
+    latents = jnp.zeros((1, hw, hw, 4), jnp.float32)
+    ctx = jnp.zeros((2, 77, 2048), jnp.float32)
+    added = {
+        'text_embeds': jnp.zeros((2, 1280), jnp.float32),
+        'time_ids': jnp.tile(
+            jnp.asarray([[IMAGE, IMAGE, 0, 0, IMAGE, IMAGE]], jnp.float32),
+            (2, 1)),
+    }
+    shapes = jax.eval_shape(
+        lambda k: unet.init(k, jnp.zeros((2, hw, hw, 4)), jnp.zeros((2,)),
+                            ctx, added), jax.random.PRNGKey(0))
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, 1e-3, s.dtype), shapes)
+    nparams = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f'params: {nparams:,}')
+
+    schedule = schedulers.make('dpmpp', STEPS)
+    state0 = schedulers.init_state(schedule, latents.shape, latents.dtype)
+
+    @jax.jit
+    def sample(params, latents, state, ctx, added, gs):
+        def body(carry, i):
+            lat, state = carry
+            lat2 = jnp.concatenate([lat, lat])
+            t = jnp.broadcast_to(schedule.timesteps[i], (2,))
+            eps = unet.apply(params, lat2, t, ctx, added)
+            eps_u, eps_c = jnp.split(eps, 2)
+            eps = eps_u + gs * (eps_c - eps_u)
+            state, lat = schedulers.step(schedule, state, eps, i, i, lat,
+                                         None, 0.0)
+            return (lat, state), None
+
+        (lat, _), _ = jax.lax.scan(body, (latents, state),
+                                   jnp.arange(schedule.length))
+        return lat
+
+    args = (params, latents, state0, ctx, added, jnp.float32(5.0))
+    t0 = time.perf_counter()
+    out = np.asarray(sample(*args))
+    print(f'compile+first run: {time.perf_counter() - t0:.1f}s, '
+          f'finite={np.isfinite(out).all()}')
+    best = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(sample(*args))
+        best = min(best, time.perf_counter() - t0)
+    print(json.dumps({
+        'metric': f'sdxl-base 1024x1024 CFG denoise steps/sec/chip '
+                  f'(bf16, DPM++ {STEPS}-step scan)',
+        'value': round(STEPS / best, 3),
+        'unit': 'steps/sec',
+        'seconds_per_image_25step': round(best / STEPS * 25, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()
