@@ -22,7 +22,7 @@ Geometry matches ``CompVis/stable-diffusion-v1-4``'s UNet (4 levels at
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ layout used throughout the framework.
 from __future__ import annotations
 
 import math
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import numpy as np
 from PIL import Image
