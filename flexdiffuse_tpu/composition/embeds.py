@@ -30,7 +30,8 @@ def px_to_block(px: Tuple[int, int], scale: int = 8) -> Tuple[int, int]:
 
 def encode_schema(schema: Schema, encoder, latent_hw: Tuple[int, int],
                   guidance_scale: float, cfg: bool = True,
-                  style_strength: float = 0.0) -> CompositeGuidance:
+                  style_strength: float = 0.0,
+                  scale: int = 8) -> CompositeGuidance:
     """Encode a composition schema into a :class:`CompositeGuidance`.
 
     Args:
@@ -46,7 +47,7 @@ def encode_schema(schema: Schema, encoder, latent_hw: Tuple[int, int],
     if schema.entities:
         ents = jnp.concatenate([encoder.prompt(e.prompt)
                                 for e in schema.entities])
-        rects = [(px_to_block(e.offset), px_to_block(e.size))
+        rects = [(px_to_block(e.offset, scale), px_to_block(e.size, scale))
                  for e in schema.entities]
         blends = jnp.asarray([e.blend for e in schema.entities], jnp.float32)
     else:

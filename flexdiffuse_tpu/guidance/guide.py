@@ -70,6 +70,8 @@ class Guide:
         else:
             raise ValueError(f'`prompt` has to be of type `str` '
                              f'or `list` but is {type(prompt)}')
+        if isinstance(guide, str) and not guide.strip():
+            guide = None  # blank guide text is no guide at all
         if not prompt and guide is None:
             raise ValueError('No prompt, or guide image provided.')
 

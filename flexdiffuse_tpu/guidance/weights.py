@@ -1,10 +1,11 @@
 """Per-token weight curves for embedding tweening — vectorized TPU-native.
 
-Covers the reference's linear ramp (guidance.py:231-233), clustered
+Covers the reference's clustered
 peak/valley guidance (``_clustered_guidance`` + ``_traverse_a_to_b``,
 guidance.py:88-172), threshold weights (guidance.py:241-246), weight blending
-(``_blend_weights``, guidance.py:175-193) and the header cap
-(guidance.py:249-254).
+(``_blend_weights``, guidance.py:175-193); the linear ramp and header cap
+live inline in :mod:`flexdiffuse_tpu.guidance.tween` (they need traced
+endpoints / static gating there).
 
 The reference builds the clustered curve by *sequentially walking* from every
 similarity peak down into its neighbouring valleys. That construction has a
@@ -33,11 +34,6 @@ import jax
 import jax.numpy as jnp
 
 Array = jax.Array
-
-
-def linear_weights(start: float, end: float, n: int) -> Array:
-    """Front-to-back linear ramp (reference guidance.py:231-233)."""
-    return jnp.linspace(start, end, n)
 
 
 def clustered_weights(sims: Array, threshold: Array,
@@ -110,12 +106,3 @@ def threshold_weights(sims: Array, floor: float, mult: float) -> Array:
     (reference guidance.py:241-246)."""
     return jnp.where(sims < floor, 0.0, jnp.full_like(sims, mult))
 
-
-def cap_header(weights: Array, header_max: float) -> Array:
-    """Clamp the header token's weight magnitude (reference guidance.py:249-254)."""
-    if header_max >= 1.0:
-        return weights
-    hw = weights[0]
-    capped = jnp.where(hw >= 0, jnp.minimum(hw, header_max),
-                       jnp.maximum(hw, -header_max))
-    return weights.at[0].set(capped)

@@ -26,6 +26,10 @@ log = logging.getLogger(__name__)
 
 _runner = None
 _runner_lock = threading.Lock()
+# Generation requests serialize on one lock: the Runner's seed/key state is
+# stateful and the chip is a serial resource anyway (the reference relied on
+# Gradio's request queue for the same guarantee).
+_gen_lock = threading.Lock()
 _runner_factory: Optional[Callable] = None
 
 
@@ -249,9 +253,11 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             payload = json.loads(self.rfile.read(n) or b'{}')
             if self.path == '/api/generate':
-                out = handle_generate(payload)
+                with _gen_lock:
+                    out = handle_generate(payload)
             elif self.path == '/api/compose':
-                out = handle_compose(payload)
+                with _gen_lock:
+                    out = handle_compose(payload)
             else:
                 return self._send(404, b'{"error": "unknown endpoint"}',
                                   'application/json')

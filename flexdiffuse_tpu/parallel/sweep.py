@@ -74,11 +74,15 @@ def sweep(pipe: FlexPipeline,
     latents = jax.device_put(latents, sh)
     guidance = guidance.replace(
         embeddings=jax.device_put(emb, sh))
-    pipe.unet_params = shard_params(pipe.unet_params, mesh)
+    # Local sharded copy — don't mutate the caller's pipeline placement.
+    unet_params = shard_params(pipe.unet_params, mesh)
+    # Independent in-loop key (η>0 variance noise): folding avoids reusing
+    # seed 0's init-latent key for the sampling stream.
+    loop_key = jax.random.fold_in(seeds_key[0], 0x5eed)
 
     with mesh:
-        final, _ = pipe._sample(pipe.unet_params, schedule, state0, guidance,
+        final, _ = pipe._sample(unet_params, schedule, state0, guidance,
                                 latents, jnp.int32(0), jnp.float32(eta),
-                                seeds_key[0], debug=False)
+                                loop_key, debug=False)
         images = pipe._decode(pipe.vae_params, final)
     return np.asarray(images)

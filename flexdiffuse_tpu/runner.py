@@ -265,6 +265,7 @@ class Runner:
         guidance = encode_schema(schema, self.encoder, latent_hw,
                                  guidance_scale,
                                  cfg=guidance_scale > 1.0,
-                                 style_strength=style_strength)
+                                 style_strength=style_strength,
+                                 scale=f)
         return self._run(batches, guidance, init_image, init_size, strength,
                          steps, debug, fp, save)

@@ -70,7 +70,10 @@ def add_noise(schedule: Schedule, sample: Array, noise: Array,
         mod = _lms if schedule.kind == 'lms' else _euler
         return mod.add_noise(schedule, sample, noise,
                              schedule.num_steps - init_timestep)
-    t = schedule.timesteps[-init_timestep]
+    # Guard init_timestep == 0 (possible for offset-0 schedulers at tiny
+    # strength): index -0 would wrap to the *maximum* timestep; the lowest
+    # one is correct (and the loop skips every step anyway).
+    t = schedule.timesteps[-max(int(init_timestep), 1)]
     return ddim_like_add_noise(schedule, sample, noise, t)
 
 

@@ -60,7 +60,10 @@ def make_schedule(config: SchedulerConfig, steps: int) -> DPMSchedule:
     lam_next = np.concatenate([lam[1:], [np.inf]])
 
     h = lam_next - lam                              # > 0
-    c_x = np.where(np.isinf(h), 0.0, sig_k_next / np.maximum(sig_k, 1e-20))
+    # Sample coefficient is the VP-sigma ratio σ_t/σ_s (NOT the Karras σ/α
+    # ratio — latents live in VP space here); terminal σ→0 gives c_x = 0.
+    sigma_next = np.concatenate([sigma[1:], [0.0]])
+    c_x = sigma_next / np.maximum(sigma, 1e-20)
     c_d0 = -alpha_next * (np.exp(-np.minimum(h, 60.0)) - 1.0)
     h_prev = np.concatenate([[np.nan], h[:-1]])
     with np.errstate(invalid='ignore', divide='ignore'):

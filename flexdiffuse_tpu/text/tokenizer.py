@@ -16,18 +16,25 @@ import html
 import json
 import os
 import re
+import zlib
 from typing import Dict, List, Sequence, Tuple, Union
 
 import numpy as np
 
 MODEL_MAX_LENGTH = 77
 
-_PAT = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
-    r"[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-    if False else
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
-    r"[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+", re.IGNORECASE)
+# CLIP's pre-tokenization pattern with true unicode letter/number classes
+# (the stdlib `re` lacks \p{...}; the `regex` module provides it so accented
+# CJK/emoji prompts tokenize identically to the HF CLIPTokenizer).
+try:
+    import regex as _re
+    _PAT = _re.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
+        r"[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+", _re.IGNORECASE)
+except ImportError:  # ASCII-only degradation
+    _PAT = re.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
+        r"[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+", re.IGNORECASE)
 
 
 @functools.lru_cache()
@@ -123,7 +130,7 @@ class CLIPTokenizer:
         """Text → BPE ids (no specials)."""
         text = _whitespace_clean(text).lower()
         ids: List[int] = []
-        for tok in re.findall(_PAT, text):
+        for tok in _PAT.findall(text):
             tok = ''.join(self.byte_encoder[b] for b in tok.encode('utf-8'))
             ids.extend(self.encoder[t] for t in self._bpe(tok))
         return ids
@@ -168,8 +175,11 @@ class FakeTokenizer:
         out = np.full((len(prompts), max_length), fill, np.int32)
         for r, p in enumerate(prompts):
             words = _whitespace_clean(p).lower().split()
+            # crc32, not hash(): Python's hash is salted per process and
+            # would break cross-process determinism.
             ids = [self.bos_token_id] + [
-                2 + (abs(hash(w)) % (self.vocab_size - 4)) for w in words
+                2 + (zlib.crc32(w.encode()) % (self.vocab_size - 4))
+                for w in words
             ]
             ids = ids[:max_length - 1] + [self.eos_token_id]
             out[r, :len(ids)] = ids

@@ -75,10 +75,14 @@ def to_pil(images: np.ndarray) -> List[Image.Image]:
 
 
 def image_grid(imgs: Sequence[Image.Image]) -> Image.Image:
-    """sqrt-based grid paste of a batch (reference utils.py:36-50)."""
+    """sqrt-based grid paste of a batch (reference utils.py:36-50).
+
+    Conscious fix vs the reference: rows is ceil(num/cols), not floor — the
+    reference's floor silently clips images pasted beyond the canvas (e.g.
+    5 images → 3×1 grid losing two)."""
     num = len(imgs)
     cols = math.ceil(num**0.5)
-    rows = num // cols
+    rows = math.ceil(num / cols)
     w, h = imgs[0].size
     grid = Image.new('RGB', size=(cols * w, rows * h))
     for i, img in enumerate(imgs):

@@ -51,9 +51,12 @@ def test_to_pil_roundtrip():
     assert len(imgs) == 2 and imgs[0].size == (8, 8)
 
 
-@pytest.mark.parametrize('n,cols,rows', [(1, 1, 1), (4, 2, 2), (8, 3, 2),
-                                         (9, 3, 3), (16, 4, 4)])
+@pytest.mark.parametrize('n,cols,rows', [(1, 1, 1), (4, 2, 2), (5, 3, 2),
+                                         (8, 3, 3), (9, 3, 3), (16, 4, 4)])
 def test_image_grid_geometry(n, cols, rows):
+    # rows = ceil(n/cols): conscious fix over the reference's floor, which
+    # silently clipped images pasted beyond the canvas (utils.py:43).
     imgs = [_img(16, 16, i) for i in range(n)]
     grid = image_grid(imgs)
     assert grid.size == (cols * 16, rows * 16)
+    assert cols * rows >= n  # every image has a cell

@@ -44,6 +44,40 @@ def test_dpmpp_perfect_model_recovers_x0():
     np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-3)
 
 
+def test_dpmpp_constant_x0_trajectory_is_analytic():
+    """With a constant x₀ prediction, every DPM++ step is exact:
+    x_i = α_i·c + (σ_i/σ_0)·(x_0 − α_0·c). Catches wrong-space sample
+    coefficients (e.g. Karras-σ ratios instead of VP-σ ratios) that the
+    final-step recovery test cannot see."""
+    steps = 10
+    sch = schedulers.make('dpmpp', steps)
+    c = jnp.full(SHAPE, 0.37)
+    x = sch.vp_alpha[0] * c + sch.vp_sigma[0] * jnp.ones(SHAPE)
+    x0_start = x
+    state = schedulers.init_state(sch, SHAPE, jnp.float32)
+    for i in range(steps - 1):  # last step is the x₀ snap, checked elsewhere
+        eps = (x - sch.vp_alpha[i] * c) / sch.vp_sigma[i]
+        state, x = schedulers.step(sch, state, eps, jnp.int32(i),
+                                   jnp.int32(i), x)
+        expect = (sch.vp_alpha[i + 1] * c +
+                  (sch.vp_sigma[i + 1] / sch.vp_sigma[0]) *
+                  (x0_start - sch.vp_alpha[0] * c))
+        np.testing.assert_allclose(np.asarray(x), np.asarray(expect),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f'step {i}')
+
+
+def test_dpmpp_img2img_zero_strength_min_noise():
+    """strength→0 with offset-0 schedulers must not wrap to max noise."""
+    sch = schedulers.make('dpmpp', 20)
+    it, t_start = schedulers.init_timestep_info(sch, 0.0, 20)
+    assert it == 0 and t_start == 20
+    x = jnp.ones(SHAPE)
+    noisy = schedulers.add_noise(sch, x, jnp.ones(SHAPE), it)
+    # Noised at the LOWEST timestep: stays close to the input.
+    assert float(jnp.abs(noisy - x).max()) < 0.35
+
+
 def test_dpmpp_second_order_uses_history():
     """Step 1..L-2 must depend on the previous x₀ (true multistep)."""
     sch = schedulers.make('dpmpp', 8)
