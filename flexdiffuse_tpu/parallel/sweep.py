@@ -23,6 +23,30 @@ from flexdiffuse_tpu.pipeline.guides import SimpleGuidance
 Array = jax.Array
 
 
+def guidance_param_sweep(base_emb: Array, alt_emb: Array,
+                         params_list) -> Array:
+    """Tween one prompt against one guide under N parameter settings.
+
+    Returns ``[N, T, D]`` conditioning rows for :func:`sweep` — pairing each
+    parameter setting with its own seed/latent row, so a whole guidance-
+    parameter exploration runs as ONE compiled data-parallel executable
+    (BASELINE.md north star: re-blending guidance params never leaves HBM;
+    the tween itself re-runs the same jitted program per setting since
+    params are traced scalars).
+
+    Args:
+        base_emb: ``[T, D]`` or ``[1, T, D]`` prompt embeddings.
+        alt_emb: ``[A, D]`` or ``[1, A, D]`` guide embeddings.
+        params_list: iterable of :class:`GuidanceParams`.
+    """
+    from flexdiffuse_tpu.guidance.tween import Tweener
+    rows = []
+    for p in params_list:
+        out = Tweener(p).tween(base_emb, alt_emb)
+        rows.append(out[0] if out.ndim == 3 else out)
+    return jnp.stack(rows)
+
+
 def sweep(pipe: FlexPipeline,
           embeddings: Array,
           uncond: Array,
@@ -52,7 +76,10 @@ def sweep(pipe: FlexPipeline,
     n = seeds_key.shape[0]
     if embeddings.ndim == 2:
         embeddings = embeddings[None]
-    emb = jnp.broadcast_to(embeddings, (n,) + embeddings.shape[1:])
+    if embeddings.shape[0] == n:
+        emb = embeddings  # per-seed conditioning (guidance-param sweeps)
+    else:
+        emb = jnp.broadcast_to(embeddings, (n,) + embeddings.shape[1:])
 
     schedule = pipe.schedule(steps)
     f = pipe.vae_scale

@@ -64,3 +64,44 @@ def test_dp_sweep_one_image_per_seed():
     images2 = sweep(pipe, emb, unc, keys, steps=2, init_size=(32, 32),
                     mesh=mesh)
     np.testing.assert_array_equal(images, images2)
+
+
+def test_guidance_param_sweep_one_image_per_setting():
+    """N guidance-parameter settings -> N distinct conditionings -> N images
+    through one DP executable."""
+    import dataclasses
+    from flexdiffuse_tpu.config import GuidanceParams
+    from flexdiffuse_tpu.models import (AutoencoderKL, TINY_UNET, TINY_VAE,
+                                        UNet2DCondition)
+    from flexdiffuse_tpu.parallel import make_mesh, seed_sweep_keys
+    from flexdiffuse_tpu.parallel.sweep import guidance_param_sweep, sweep
+    from flexdiffuse_tpu.pipeline import FlexPipeline
+
+    k = jax.random.PRNGKey(0)
+    unet = UNet2DCondition(TINY_UNET)
+    up = unet.init(k, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+                   jnp.zeros((1, 77, 32)))
+    vae = AutoencoderKL(TINY_VAE)
+    vp = vae.init(k, jnp.zeros((1, 16, 16, 3)), k)
+    pipe = FlexPipeline(unet, up, vae, vp, scheduler='pndm')
+
+    rng = np.random.default_rng(3)
+    base = jnp.asarray(rng.normal(size=(77, 32)).astype(np.float32))
+    alt = jnp.asarray(rng.normal(size=(40, 32)).astype(np.float32))
+    params = [
+        dataclasses.replace(GuidanceParams.ui_defaults(),
+                            linear=(0.0, float(e)))
+        for e in np.linspace(0.0, 0.9, 8)
+    ]
+    emb = guidance_param_sweep(base, alt, params)
+    assert emb.shape == (8, 77, 32)
+    # Distinct settings give distinct conditionings.
+    assert float(jnp.abs(emb[0] - emb[7]).max()) > 1e-4
+
+    unc = jnp.asarray(rng.normal(size=(1, 77, 32)).astype(np.float32))
+    # Same seed for every row: image differences come from guidance params.
+    keys = jnp.tile(seed_sweep_keys(7, 1), (8, 1))
+    images = sweep(pipe, emb, unc, keys, steps=2, init_size=(32, 32),
+                   mesh=make_mesh(model_parallel=1))
+    assert images.shape == (8, 32, 32, 3)
+    assert np.abs(images[0] - images[7]).max() > 1e-6
