@@ -24,7 +24,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 Array = jax.Array
 
@@ -57,7 +57,6 @@ def _ring_attention_sharded(q: Array, k: Array, v: Array, scale: float,
                             axis_name: str) -> Array:
     """Body under shard_map: all inputs are per-device shards
     ``[B, H, S/d, D]``."""
-    b, h, sq, d = q.shape
     num = jax.lax.psum(1, axis_name)
     # Initial state derived from q so shard_map marks it axis-varying
     # (freshly-created constants would be "unvarying" and fail the scan
@@ -84,7 +83,10 @@ def ring_attention(q: Array, k: Array, v: Array, mesh: Mesh, axis: str,
     """
     if scale is None:
         scale = q.shape[-1]**-0.5
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # JAX >= 0.8
+    except ImportError:  # pragma: no cover - older JAX
+        from jax.experimental.shard_map import shard_map
     spec = P(None, None, axis, None)
     fn = shard_map(
         functools.partial(_ring_attention_sharded, scale=scale,

@@ -31,7 +31,12 @@ try:
     _PAT = _re.compile(
         r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
         r"[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+", _re.IGNORECASE)
-except ImportError:  # ASCII-only degradation
+except ImportError:  # ASCII-only degradation — WARN: ids will differ
+    import logging as _logging
+    _logging.getLogger(__name__).warning(
+        'the `regex` package is unavailable; falling back to ASCII-only '
+        'pre-tokenization — non-ASCII prompts will tokenize differently '
+        'from the HF CLIPTokenizer')
     _PAT = re.compile(
         r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
         r"[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+", re.IGNORECASE)
