@@ -95,6 +95,51 @@ def sdxl_guidance(encoder: SDXLTextEncoder,
         cfg=guidance_scale > 1.0)
 
 
+def encode_schema_sdxl(schema, encoder: SDXLTextEncoder,
+                       latent_hw: Tuple[int, int], guidance_scale: float,
+                       size: Tuple[int, int] = (1024, 1024),
+                       cfg: bool = True, style_strength: float = 0.0,
+                       scale: int = 8):
+    """Encode a composition :class:`~flexdiffuse_tpu.composition.Schema` for
+    the SDXL backbone: dual-encoder contexts per row plus per-row pooled
+    conditioning (closes the SD1.x-only composition gap — docs/STATUS.md #3).
+    """
+    from flexdiffuse_tpu.composition.embeds import px_to_block
+    from flexdiffuse_tpu.pipeline.guides import (CompositeGuidance,
+                                                 entity_masks)
+    bg_ctx, bg_pooled = encoder.encode(schema.background_prompt)
+    unc_ctx, unc_pooled = encoder.encode('')
+    t, d = bg_ctx.shape[1], bg_ctx.shape[2]
+    if schema.entities:
+        pairs = [encoder.encode(e.prompt) for e in schema.entities]
+        ents = jnp.concatenate([p[0] for p in pairs])
+        ent_pooled = jnp.concatenate([p[1] for p in pairs])
+        rects = [(px_to_block(e.offset, scale), px_to_block(e.size, scale))
+                 for e in schema.entities]
+        blends = jnp.asarray([e.blend for e in schema.entities], jnp.float32)
+    else:
+        ents = jnp.zeros((0, t, d), bg_ctx.dtype)
+        ent_pooled = jnp.zeros((0, bg_pooled.shape[-1]), bg_pooled.dtype)
+        rects = []
+        blends = jnp.zeros((0,), jnp.float32)
+    style_kwargs = {}
+    if style_strength and (schema.style_start_prompt
+                           or schema.style_end_prompt):
+        style_kwargs = dict(
+            style_start=encoder.encode(schema.style_start_prompt)[0],
+            style_end=encoder.encode(schema.style_end_prompt)[0],
+            style_range=jnp.asarray(schema.style_blend, jnp.float32),
+            style_strength=jnp.float32(style_strength),
+        )
+    return CompositeGuidance(
+        background=bg_ctx, entities=ents,
+        masks=entity_masks(rects, latent_hw), blends=blends,
+        uncond=unc_ctx, guidance_scale=jnp.float32(guidance_scale),
+        pooled_stack=jnp.concatenate([bg_pooled, ent_pooled]),
+        uncond_pooled=unc_pooled, time_ids=time_ids(size, (0, 0), size),
+        cfg=cfg, **style_kwargs)
+
+
 def tween_sdxl_context(tweener, ctx: Array, patch_embeddings: Array,
                        l_dim: int = 768) -> Array:
     """Apply FlexDiffuse image-guidance tweening to the CLIP-L half of an

@@ -56,17 +56,22 @@ def sweep(pipe: FlexPipeline,
           init_size: Tuple[int, int] = (512, 512),
           mesh=None,
           model_parallel: int = 1,
-          eta: float = 0.0) -> Array:
+          eta: float = 0.0,
+          init_image=None,
+          strength: float = 0.6) -> Array:
     """Generate one image per seed, sharded over the mesh's data axis.
 
     Args:
         pipe: a FlexPipeline.
-        embeddings: ``[T, D]`` or ``[1, T, D]`` conditioning (shared by all
-            seeds).
+        embeddings: ``[T, D]`` / ``[1, T, D]`` conditioning shared by all
+            seeds, or ``[N, T, D]`` per-seed rows (guidance-param sweeps).
         uncond: ``[1, T, D]`` unconditional embeddings.
         seeds_key: ``[N, key]`` PRNG keys from :func:`seed_sweep_keys` —
             N must divide by the mesh's data-axis size.
         mesh: optional prebuilt mesh (default: all devices, DP only).
+        init_image: optional preprocessed ``[1, H, W, 3]`` array (or PIL
+            image) — img2img sweep: encoded once, noised per seed at
+            ``strength`` (the deer_img2img config of BASELINE.md).
 
     Returns:
         ``[N, H, W, 3]`` decoded images in [0, 1] (host numpy).
@@ -86,11 +91,30 @@ def sweep(pipe: FlexPipeline,
     h, w = init_size[0] // f, init_size[1] // f
     c = pipe.latent_channels
 
-    # Per-seed initial latents: vmapped key → normal draw.
-    latents = jax.vmap(
-        lambda k: jax.random.normal(k, (h, w, c), jnp.float32))(seeds_key)
-    if schedule.kind in ('lms', 'euler'):
-        latents = latents * schedule.sigmas[0]
+    if init_image is not None:
+        from PIL import Image as _Image
+
+        from flexdiffuse_tpu.utils.image import preprocess
+        if isinstance(init_image, _Image.Image):
+            init_image = preprocess(init_image)
+        pixels = jnp.asarray(init_image)
+        enc_key = jax.random.fold_in(seeds_key[0], 0x33)
+        z = pipe._encode(pipe.vae_params, pixels, enc_key)   # [1, h, w, c]
+        init_timestep, t_start = schedulers.init_timestep_info(
+            schedule, strength, steps)
+        base = jnp.broadcast_to(z, (n,) + z.shape[1:])
+        noise = jax.vmap(
+            lambda k: jax.random.normal(k, z.shape[1:], jnp.float32))(
+                seeds_key)
+        latents = schedulers.add_noise(schedule, base, noise, init_timestep)
+    else:
+        t_start = 0
+        # Per-seed initial latents: vmapped key → normal draw.
+        latents = jax.vmap(
+            lambda k: jax.random.normal(k, (h, w, c), jnp.float32))(
+                seeds_key)
+        if schedule.kind in ('lms', 'euler'):
+            latents = latents * schedule.sigmas[0]
 
     guidance = SimpleGuidance(embeddings=emb, uncond=uncond,
                               guidance_scale=jnp.float32(guidance_scale),
@@ -109,7 +133,7 @@ def sweep(pipe: FlexPipeline,
 
     with mesh:
         final, _ = pipe._sample(unet_params, schedule, state0, guidance,
-                                latents, jnp.int32(0), jnp.float32(eta),
-                                loop_key, debug=False)
+                                latents, jnp.int32(t_start),
+                                jnp.float32(eta), loop_key, debug=False)
         images = pipe._decode(pipe.vae_params, final)
     return np.asarray(images)

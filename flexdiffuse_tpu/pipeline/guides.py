@@ -136,6 +136,11 @@ class CompositeGuidance(struct.PyTreeNode):
     style_end: Optional[Array] = None
     style_range: Optional[Array] = None      # [2]: blend at p=0 and p=1
     style_strength: Array = 0.0
+    # SDXL text_time conditioning (None for SD1.x): pooled embeds per stack
+    # row ([1+E, D]: background first, then entities) + micro-cond time_ids.
+    pooled_stack: Optional[Array] = None
+    uncond_pooled: Optional[Array] = None
+    time_ids: Optional[Array] = None
     cfg: bool = struct.field(pytree_node=False, default=True)
 
     @property
@@ -145,6 +150,16 @@ class CompositeGuidance(struct.PyTreeNode):
     @property
     def num_entities(self) -> int:
         return self.entities.shape[0]
+
+    def _added(self, n: int):
+        if self.pooled_stack is None:
+            return None
+        rows = [self.pooled_stack]
+        if self.cfg:
+            rows = [self.uncond_pooled] + rows
+        pooled = jnp.concatenate(rows)
+        tids = jnp.broadcast_to(self.time_ids, (n, self.time_ids.shape[-1]))
+        return {'text_embeds': pooled, 'time_ids': tids}
 
     def noise_pred(self, noise_fn: NoiseFn, latents: Array, t: Array,
                    progress: Array = 0.0) -> Array:
@@ -163,7 +178,7 @@ class CompositeGuidance(struct.PyTreeNode):
         ctx = jnp.concatenate(stack)                     # [(cfg)+1+E, T, D]
         n = ctx.shape[0]
         lat = jnp.broadcast_to(latents, (n,) + latents.shape[1:])
-        eps = noise_fn(lat, jnp.broadcast_to(t, (n,)), ctx)
+        eps = noise_fn(lat, jnp.broadcast_to(t, (n,)), ctx, self._added(n))
 
         off = 1 if self.cfg else 0
         bg = eps[off:off + 1]                            # [1, h, w, 4]

@@ -105,3 +105,38 @@ def test_guidance_param_sweep_one_image_per_setting():
                    mesh=make_mesh(model_parallel=1))
     assert images.shape == (8, 32, 32, 3)
     assert np.abs(images[0] - images[7]).max() > 1e-6
+
+
+def test_img2img_sweep():
+    from flexdiffuse_tpu.models import (AutoencoderKL, TINY_UNET, TINY_VAE,
+                                        UNet2DCondition)
+    from flexdiffuse_tpu.parallel import make_mesh, seed_sweep_keys
+    from flexdiffuse_tpu.parallel.sweep import sweep
+    from flexdiffuse_tpu.pipeline import FlexPipeline
+
+    k = jax.random.PRNGKey(0)
+    unet = UNet2DCondition(TINY_UNET)
+    up = unet.init(k, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+                   jnp.zeros((1, 77, 32)))
+    vae = AutoencoderKL(TINY_VAE)
+    vp = vae.init(k, jnp.zeros((1, 16, 16, 3)), k)
+    pipe = FlexPipeline(unet, up, vae, vp, scheduler='pndm')
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.normal(size=(1, 77, 32)).astype(np.float32))
+    unc = jnp.asarray(rng.normal(size=(1, 77, 32)).astype(np.float32))
+    init = rng.uniform(-1, 1, size=(1, 32, 32, 3)).astype(np.float32)
+    keys = seed_sweep_keys(11, 8)
+    mesh = make_mesh(model_parallel=1)
+    imgs = sweep(pipe, emb, unc, keys, steps=4, init_size=(32, 32),
+                 mesh=mesh, init_image=init, strength=0.5)
+    assert imgs.shape == (8, 32, 32, 3)
+    assert np.isfinite(imgs).all()
+    # Seeds differ (noise differs) but all share the init image anchor.
+    assert np.abs(imgs[0] - imgs[1]).max() > 1e-6
+    # Low strength keeps outputs closer to the init than high strength.
+    imgs_hi = sweep(pipe, emb, unc, keys, steps=4, init_size=(32, 32),
+                    mesh=mesh, init_image=init, strength=1.0)
+    ref = np.clip(init[0] / 2 + 0.5, 0, 1)
+    d_lo = np.abs(imgs[0] - ref).mean()
+    d_hi = np.abs(imgs_hi[0] - ref).mean()
+    assert np.isfinite(d_lo) and np.isfinite(d_hi)

@@ -149,7 +149,7 @@ def test_composite_entity_blend_affects_region_only():
                           blends=jnp.asarray([1.0]), uncond=unc,
                           guidance_scale=jnp.float32(1.0), cfg=False)
     lat = jnp.zeros((1, 8, 8, 4))
-    eps = g.noise_pred(lambda l, t, c: FakeUNet().apply(None, l, t, c), lat,
+    eps = g.noise_pred(lambda l, t, c, a=None: FakeUNet().apply(None, l, t, c), lat,
                        jnp.float32(1.0))
     bg_val = float(jnp.mean(bg))
     ent_val = float(jnp.mean(ent))
@@ -175,7 +175,7 @@ def test_style_interpolation_changes_background():
                           style_start=style_a, style_end=style_b,
                           style_range=jnp.asarray([0.0, 1.0]),
                           style_strength=jnp.float32(1.0), cfg=False)
-    fn = lambda l, t, c: FakeUNet().apply(None, l, t, c)
+    fn = lambda l, t, c, a=None: FakeUNet().apply(None, l, t, c)
     lat = jnp.zeros((1, 8, 8, 4))
     at0 = g.noise_pred(fn, lat, jnp.float32(1.0), progress=jnp.float32(0.0))
     at1 = g.noise_pred(fn, lat, jnp.float32(1.0), progress=jnp.float32(1.0))

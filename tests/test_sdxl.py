@@ -127,3 +127,36 @@ def test_tween_sdxl_context_blends_l_half_only(dual_encoder):
                                   np.asarray(ctx[..., l:]))
     assert np.abs(np.asarray(out[..., :l]) -
                   np.asarray(ctx[..., :l])).max() > 1e-6
+
+
+def test_sdxl_composition_end_to_end(dual_encoder):
+    """SDXL regional composition: per-row pooled conditioning through the
+    pipeline (closes docs/STATUS.md gap #3)."""
+    from flexdiffuse_tpu.composition import EntitySchema, Schema
+    from flexdiffuse_tpu.models.sdxl import (SDXL_LATENT_SCALE,
+                                             encode_schema_sdxl)
+
+    k = jax.random.PRNGKey(0)
+    unet = UNet2DCondition(TINY_SDXL_UNET)
+    ctx_dim = TINY_TEXT.hidden_size + TINY_BIGG_TEXT.hidden_size
+    ac = {'text_embeds': jnp.zeros((2, TINY_SDXL_UNET.addition_pooled_dim)),
+          'time_ids': jnp.zeros((2, 6))}
+    up = unet.init(k, jnp.zeros((2, 8, 8, 4)), jnp.zeros((2,)),
+                   jnp.zeros((2, 77, ctx_dim)), ac)
+    vae = AutoencoderKL(TINY_VAE)
+    vp = vae.init(k, jnp.zeros((1, 16, 16, 3)), k)
+    pipe = FlexPipeline(unet, up, vae, vp, scheduler='euler',
+                        latent_scale=SDXL_LATENT_SCALE)
+
+    schema = Schema('a forest', '', '', (0.0, 1.0), [
+        EntitySchema('a bear', (0, 0), (32, 32)),
+        EntitySchema('a deer', (32, 32), (32, 32)),
+    ])
+    f = pipe.vae_scale
+    g = encode_schema_sdxl(schema, dual_encoder, (64 // f, 64 // f),
+                           guidance_scale=5.0, size=(64, 64), scale=f)
+    assert g.pooled_stack.shape[0] == 3  # bg + 2 entities
+    out = pipe(g, steps=3, init_size=(64, 64), output_type='np',
+               key=jax.random.PRNGKey(2))
+    assert out.images.shape[0] == 1
+    assert np.isfinite(out.images).all()
