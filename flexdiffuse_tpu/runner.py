@@ -59,7 +59,15 @@ class Runner:
                  model_root: Optional[str] = None,
                  config: RunConfig = RunConfig(),
                  scheduler: str = 'pndm',
-                 dtype=jnp.bfloat16) -> None:
+                 dtype=jnp.bfloat16,
+                 text_config=None,
+                 vision_config=None,
+                 unet_config=None,
+                 vae_config=None) -> None:
+        """Load from HF snapshot dirs under ``model_root`` (default configs
+        are the reference's SD-1.4 + CLIP ViT-L/14 geometry; the ``*_config``
+        overrides exist for alternative checkpoints and loading-path tests).
+        """
         self.config = config
         if model_root is None:
             raise ValueError(
@@ -69,18 +77,24 @@ class Runner:
         from flexdiffuse_tpu.text.tokenizer import CLIPTokenizer
         from flexdiffuse_tpu.weights import load
 
+        text_config = text_config or configs.CLIP_VIT_L14_TEXT
+        vision_config = vision_config or configs.CLIP_VIT_L14_VISION
+        unet_config = unet_config or SD14_UNET
+        vae_config = vae_config or SD14_VAE
+
         sd_dir = os.path.join(model_root, config.sd_model.split('/')[-1])
         clip_dir = os.path.join(model_root, config.clip_model.split('/')[-1])
         log.info('Loading CLIP from %s and SD from %s (local only: %s)',
                  clip_dir, sd_dir, config.local_only)
-        text_params, vision_params = load.load_clip(clip_dir)
-        unet_params, vae_params = load.load_sd(sd_dir)
+        text_params, vision_params = load.load_clip(
+            clip_dir, text_config=text_config, vision_config=vision_config)
+        unet_params, vae_params = load.load_sd(
+            sd_dir, unet_config=unet_config, vae_config=vae_config)
         tokenizer = CLIPTokenizer.from_dir(clip_dir)
-        text_model = CLIPTextModel(configs.CLIP_VIT_L14_TEXT, dtype=dtype)
-        vision_model = CLIPVisionModel(configs.CLIP_VIT_L14_VISION,
-                                       dtype=dtype)
-        unet = UNet2DCondition(SD14_UNET, dtype=dtype)
-        vae = AutoencoderKL(SD14_VAE, dtype=dtype)
+        text_model = CLIPTextModel(text_config, dtype=dtype)
+        vision_model = CLIPVisionModel(vision_config, dtype=dtype)
+        unet = UNet2DCondition(unet_config, dtype=dtype)
+        vae = AutoencoderKL(vae_config, dtype=dtype)
         self._init_common(text_model, text_params, vision_model,
                           vision_params, unet, unet_params, vae, vae_params,
                           tokenizer, scheduler)
