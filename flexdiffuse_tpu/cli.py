@@ -84,6 +84,7 @@ def cmd_generate(args) -> int:
         guide = Image.open(args.guide) if os.path.exists(args.guide) \
             else args.guide  # a path → image guide; otherwise text guide
     init = Image.open(args.init_image) if args.init_image else None
+    mask = Image.open(args.mask) if args.mask else None
     imgs, grid = runner.gen(
         prompt=args.prompt, init_image=init, guide=guide,
         init_size=(args.height, args.width),
@@ -97,7 +98,7 @@ def cmd_generate(args) -> int:
         guide_reuse=not args.no_reuse, strength=args.strength,
         steps=args.steps, guidance_scale=args.guidance_scale,
         samples=args.samples, seed=args.seed, debug=args.debug,
-        negative_prompt=args.negative_prompt)
+        negative_prompt=args.negative_prompt, mask=mask)
     print(f'{len(imgs)} image(s) written to {runner.output_dir}')
     return 0
 
@@ -152,6 +153,8 @@ def main(argv=None) -> int:
     p.add_argument('--guide', default='',
                    help='guide image path or guide text')
     p.add_argument('--init-image', default='')
+    p.add_argument('--mask', default='',
+                   help='inpainting mask image (white = regenerate)')
     p.add_argument('--concepts', default='')
     p.add_argument('--out', default='./outputs')
     p.add_argument('--height', type=int, default=512)

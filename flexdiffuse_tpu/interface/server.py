@@ -90,7 +90,8 @@ def handle_generate(payload: dict) -> dict:
         samples=samples,
         seed=int(p.get('seed', 0)) or None,
         debug=debug,
-        negative_prompt=p.get('negative_prompt', ''))
+        negative_prompt=p.get('negative_prompt', ''),
+        mask=_b64_to_pil(p.get('mask')))
     return {'images': [_pil_to_b64(i) for i in imgs]}
 
 
@@ -144,6 +145,7 @@ table{border-collapse:collapse}td,th{border:1px solid #333;padding:4px}td input{
   <label class="wide">Prompt<textarea id="prompt" rows="1"></textarea></label>
   <label class="wide">Negative prompt<textarea id="negative_prompt" rows="1"></textarea></label>
   <label>Initial image<input type="file" id="init_image"></label>
+  <label>Inpaint mask (white = regenerate)<input type="file" id="mask"></label>
   <label>Guide image<input type="file" id="guide_image"></label>
   <label>Guide text<input id="guide_text"></label>
   <label>Mapping concepts<input id="mapping_concepts"></label>
@@ -215,6 +217,7 @@ async function generate(){const body={};
   'threshold_floor','samples','linear_start','linear_end','guidance_scale','clustered','seed',
   'max_guidance','header_max','height','width','guide_mode','reuse','debug'])body[k]=v(k);
  body.init_image=await file64('init_image');body.guide_image=await file64('guide_image');
+ body.mask=await file64('mask');
  post('/api/generate',body,'gallery')}
 async function compose(){const rows=[...document.querySelectorAll('#entities tr')].slice(1)
  .map(tr=>[...tr.querySelectorAll('input')].map(i=>i.value));

@@ -86,15 +86,16 @@ class FlexPipeline:
         vae_apply = vae.apply
         latent_scale = self.latent_scale
 
-        @functools.partial(jax.jit, static_argnames=('debug',))
+        @functools.partial(jax.jit, static_argnames=('debug', 'inpaint'))
         def _sample(unet_params, schedule, state0, guidance, latents,
-                    t_start, eta, key, debug=False):
+                    t_start, eta, key, init_latents=None, mask=None,
+                    debug=False, inpaint=False):
             def noise_fn(lat, t, ctx, added=None):
                 return unet_apply(unet_params, lat, t, ctx, added)
 
             def body(carry, i):
                 lat, state, k = carry
-                k, sub = jax.random.split(k)
+                k, sub, k_inp = jax.random.split(k, 3)
 
                 def active(op):
                     lat, state = op
@@ -105,6 +106,15 @@ class FlexPipeline:
                     eps = guidance.noise_pred(noise_fn, xin, t, progress)
                     state, new = schedulers.step(schedule, state, eps, i,
                                                  i - t_start, lat, sub, eta)
+                    if inpaint:
+                        # Re-anchor the kept region (mask==0) to the init
+                        # image noised to the NEXT position's level, so both
+                        # regions share one trajectory (latent inpainting).
+                        noise = jax.random.normal(k_inp, new.shape,
+                                                  jnp.float32)
+                        anchored = schedulers.noise_to_position(
+                            schedule, init_latents, noise, i + 1)
+                        new = mask * new + (1.0 - mask) * anchored
                     return new, state
 
                 lat, state = jax.lax.cond(i >= t_start, active,
@@ -172,13 +182,22 @@ class FlexPipeline:
                  key: Optional[Array] = None,
                  output_type: str = 'pil',
                  return_dict: bool = True,
-                 debug: bool = False):
+                 debug: bool = False,
+                 mask: Optional[Union[Image.Image, np.ndarray,
+                                      Array]] = None):
         """Generate images (reference ``FlexPipeline.__call__``
         pipeline/flex.py:126-310; ``generator`` → explicit PRNG ``key``).
+
+        ``mask`` (addition over the reference) enables latent inpainting:
+        a pixel- or latent-space map where 1 = regenerate and 0 = keep the
+        ``init_image`` content; requires ``init_image``. The kept region is
+        re-anchored to the init latents at each step's noise level.
         """
         if strength < 0 or strength > 1:
             raise ValueError('The value of strength should in [0.0, 1.0] '
                              f'but is {strength}')
+        if mask is not None and init_image is None:
+            raise ValueError('inpainting (mask=...) requires init_image')
         if key is None:
             key = jax.random.PRNGKey(0)
         key, k_enc, k_noise, k_scan = jax.random.split(key, 4)
@@ -209,13 +228,33 @@ class FlexPipeline:
                 latents = latents * schedule.sigmas[0]
             t_start = 0
 
+        latent_mask = None
+        if mask is not None:
+            if isinstance(mask, Image.Image):
+                mask = np.asarray(mask.convert('L'), np.float32) / 255.0
+            m = jnp.asarray(mask, jnp.float32)
+            if m.ndim == 2:
+                m = m[None, :, :, None]
+            elif m.ndim == 3:
+                m = m[None]
+            h, w = latents.shape[1:3]
+            if m.shape[1:3] != (h, w):  # pixel-space → latent grid
+                m = jax.image.resize(m, (m.shape[0], h, w, m.shape[-1]),
+                                     method='linear')
+            latent_mask = jnp.clip(m, 0.0, 1.0)
+
         state0 = schedulers.init_state(schedule, latents.shape,
                                        latents.dtype)
         latents, all_latents = self._sample(self.unet_params, schedule,
                                             state0, guide, latents,
                                             jnp.int32(t_start),
                                             jnp.float32(eta), k_scan,
-                                            debug=debug)
+                                            init_latents=(init_latents
+                                                          if mask is not None
+                                                          else None),
+                                            mask=latent_mask,
+                                            debug=debug,
+                                            inpaint=mask is not None)
 
         if debug:
             # Decode every recorded step from t_start on (reference debug

@@ -141,7 +141,8 @@ class Runner:
     # ------------------------------------------------------------------
     def _run(self, batches: int, guidance, init_image, init_size, strength,
              steps: int, debug: bool, fp: str,
-             save: bool = True) -> Tuple[List[Image.Image], Image.Image]:
+             save: bool = True,
+             mask=None) -> Tuple[List[Image.Image], Image.Image]:
         """Multi-batch sweep (reference ``_run`` utils.py:85-112): one
         compiled executable, new PRNG key per batch."""
         all_images: List[Image.Image] = []
@@ -152,7 +153,8 @@ class Runner:
             ms_time = int(stime * 1000)
             out = self.pipe(guidance, steps=steps, init_image=init_image,
                             init_size=init_size, strength=strength,
-                            eta=self.eta, key=self._next_key(), debug=debug)
+                            eta=self.eta, key=self._next_key(), debug=debug,
+                            mask=mask)
             images = out.images
             log.info('batch %d/%d: %d image(s) in %.2fs', b + 1, batches,
                      len(images), time.time() - stime)
@@ -191,14 +193,19 @@ class Runner:
             seed: Optional[int] = None,
             debug: bool = False,
             save: bool = True,
-            negative_prompt: str = ''):
+            negative_prompt: str = '',
+            mask: Optional[Image.Image] = None):
         """Guided generation (reference ``Runner.gen`` utils.py:114-166).
 
         ``negative_prompt`` replaces the empty-string unconditional embedding
         in classifier-free guidance (an addition over the reference, which
         always uses '' — pipeline/guide.py:30)."""
-        fp = f'i2i_ds{int(strength * 100)}' if init_image is not None \
-            else 't2i'
+        if mask is not None and init_image is not None:
+            fp = f'inp_ds{int(strength * 100)}'
+        elif init_image is not None:
+            fp = f'i2i_ds{int(strength * 100)}'
+        else:
+            fp = 't2i'
         if guide is not None and not (isinstance(guide, str) and not guide):
             fp += (f'_itm{_i100(guide_threshold_mult)}'
                    f'_itf{_i100(guide_threshold_floor)}'
@@ -231,7 +238,7 @@ class Runner:
             cfg=guidance_scale > 1.0)
         with self.timer.phase('generate'):
             return self._run(samples, guidance, init_image, init_size,
-                             strength, steps, debug, fp, save)
+                             strength, steps, debug, fp, save, mask=mask)
 
     # ------------------------------------------------------------------
     def compose(self,

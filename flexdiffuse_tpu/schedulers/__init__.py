@@ -77,7 +77,39 @@ def add_noise(schedule: Schedule, sample: Array, noise: Array,
     return ddim_like_add_noise(schedule, sample, noise, t)
 
 
+def noise_to_position(schedule: Schedule, sample: Array, noise: Array,
+                      i: Array) -> Array:
+    """Noise a clean latent to the level of scan position ``i`` (traced).
+
+    ``i`` ranges over ``[0, length]``; position ``length`` means fully clean
+    (σ→0). Used by inpainting to re-noise the kept region to match the
+    denoise trajectory at every step.
+    """
+    i = jnp.asarray(i, jnp.int32)
+    length = schedule.length
+    if schedule.kind in ('lms', 'euler'):
+        sigma = schedule.sigmas[jnp.clip(i, 0, length)]
+        return (sample.astype(jnp.float32) +
+                noise.astype(jnp.float32) * sigma).astype(sample.dtype)
+    if schedule.kind == 'dpmpp':
+        clamped = jnp.clip(i, 0, length - 1)
+        clean = i >= length
+        a = jnp.where(clean, 1.0, schedule.vp_alpha[clamped])
+        s = jnp.where(clean, 0.0, schedule.vp_sigma[clamped])
+        return (a * sample.astype(jnp.float32) +
+                s * noise.astype(jnp.float32)).astype(sample.dtype)
+    # ddim / pndm: timestep-value-indexed ᾱ; position `length` is clean.
+    t = schedule.timesteps[jnp.clip(i, 0, length - 1)].astype(jnp.int32)
+    ap = schedule.alphas_cumprod[jnp.clip(t, 0,
+                                          schedule.num_train_timesteps - 1)]
+    ap = jnp.where(i >= length, 1.0, ap)
+    return (jnp.sqrt(ap) * sample.astype(jnp.float32) +
+            jnp.sqrt(1.0 - ap) * noise.astype(jnp.float32)).astype(
+                sample.dtype)
+
+
 __all__ = [
     'Schedule', 'SchedulerConfig', 'make', 'init_state', 'scale_model_input',
-    'step', 'add_noise', 'init_timestep_info', 'make_betas', 'alphas_cumprod'
+    'step', 'add_noise', 'init_timestep_info', 'make_betas',
+    'alphas_cumprod', 'noise_to_position'
 ]

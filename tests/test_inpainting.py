@@ -1,0 +1,104 @@
+"""Latent inpainting tests (addition over the reference)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flexdiffuse_tpu.models import (AutoencoderKL, TINY_UNET, TINY_VAE,
+                                    UNet2DCondition)
+from flexdiffuse_tpu.pipeline import FlexPipeline, SimpleGuidance
+
+T, D, SIZE = 77, 32, 64
+
+
+@pytest.fixture(scope='module')
+def pipe():
+    k = jax.random.PRNGKey(0)
+    unet = UNet2DCondition(TINY_UNET)
+    up = unet.init(k, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+                   jnp.zeros((1, T, D)))
+    vae = AutoencoderKL(TINY_VAE)
+    vp = vae.init(k, jnp.zeros((1, 16, 16, 3)), k)
+    return FlexPipeline(unet, up, vae, vp, scheduler='pndm')
+
+
+def _guide(seed=0):
+    rng = np.random.default_rng(seed)
+    return SimpleGuidance(
+        embeddings=jnp.asarray(rng.normal(size=(1, T, D)).astype(
+            np.float32)),
+        uncond=jnp.asarray(rng.normal(size=(1, T, D)).astype(np.float32)),
+        guidance_scale=jnp.float32(8.0), cfg=True)
+
+
+def _init():
+    return np.random.default_rng(1).uniform(
+        -1, 1, size=(1, SIZE, SIZE, 3)).astype(np.float32)
+
+
+def test_mask_requires_init_image(pipe):
+    with pytest.raises(ValueError):
+        pipe(_guide(), steps=2, mask=np.ones((SIZE, SIZE), np.float32))
+
+
+def test_keep_all_mask_returns_vae_roundtrip(pipe):
+    """mask = 0 everywhere → every step re-anchors to the init latents, so
+    the output is exactly the VAE roundtrip of the init image."""
+    init = _init()
+    key = jax.random.PRNGKey(3)
+    out = pipe(_guide(), steps=4, init_image=init, strength=1.0,
+               mask=np.zeros((SIZE, SIZE), np.float32), output_type='np',
+               key=key).images
+    # Reference value: encode (with the same sub-key the pipeline derives)
+    # then decode directly.
+    _, k_enc, _, _ = jax.random.split(key, 4)
+    z = pipe._encode(pipe.vae_params, jnp.asarray(init), k_enc)
+    expect = np.asarray(pipe._decode(pipe.vae_params, z))
+    np.testing.assert_allclose(out, expect, atol=1e-4)
+
+
+@pytest.mark.parametrize('kind', ['pndm', 'euler', 'dpmpp'])
+def test_half_mask_keeps_half_latents(pipe, kind):
+    """Latent-level check (the VAE's global mid-attention makes *decoded*
+    pixels everywhere depend on all latents, so the kept region is asserted
+    pre-decode): the masked-0 half must equal the init latents exactly; the
+    regenerate half must differ."""
+    from flexdiffuse_tpu import schedulers
+
+    k = jax.random.PRNGKey(0)
+    unet = UNet2DCondition(TINY_UNET)
+    up = unet.init(k, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+                   jnp.zeros((1, T, D)))
+    vae = AutoencoderKL(TINY_VAE)
+    vp = vae.init(k, jnp.zeros((1, 16, 16, 3)), k)
+    p = FlexPipeline(unet, up, vae, vp, scheduler=kind)
+
+    init = _init()
+    key = jax.random.PRNGKey(5)
+    key, k_enc, k_noise, k_scan = jax.random.split(key, 4)
+    schedule = p.schedule(4)
+    z = p._encode(p.vae_params, jnp.asarray(init), k_enc)
+    init_ts, t_start = schedulers.init_timestep_info(schedule, 1.0, 4)
+    noise = jax.random.normal(k_noise, z.shape, jnp.float32)
+    lat0 = schedulers.add_noise(schedule, z, noise, init_ts)
+    h, w = z.shape[1:3]
+    mask = jnp.zeros((1, h, w, 1), jnp.float32).at[:, :, w // 2:, :].set(1.0)
+    state0 = schedulers.init_state(schedule, lat0.shape, lat0.dtype)
+    final, _ = p._sample(p.unet_params, schedule, state0, _guide(), lat0,
+                         jnp.int32(t_start), jnp.float32(0.0), k_scan,
+                         init_latents=z, mask=mask, inpaint=True)
+    final = np.asarray(final)
+    zref = np.asarray(z)
+    # Kept half == init latents exactly (final anchor is σ→0 = clean).
+    np.testing.assert_allclose(final[:, :, :w // 2], zref[:, :, :w // 2],
+                               atol=1e-5)
+    # Regenerated half differs.
+    assert np.abs(final[:, :, w // 2:] - zref[:, :, w // 2:]).max() > 1e-3
+
+
+def test_full_mask_equals_plain_img2img_shape(pipe):
+    init = _init()
+    out = pipe(_guide(), steps=3, init_image=init, strength=0.7,
+               mask=np.ones((SIZE, SIZE), np.float32), output_type='np',
+               key=jax.random.PRNGKey(6)).images
+    assert out.shape[0] == 1 and np.isfinite(out).all()
