@@ -70,9 +70,9 @@ def cmd_convert(args) -> int:
     sd_dir = os.path.join(args.models, cfg.sd_model.split('/')[-1])
     clip_dir = os.path.join(args.models, cfg.clip_model.split('/')[-1])
     load.load_clip(clip_dir)
-    print(f'converted CLIP -> {clip_dir}/flexdiffuse_tpu_clip.msgpack')
+    print(f'converted CLIP -> {clip_dir}/flexdiffuse_tpu_clip_*.msgpack')
     load.load_sd(sd_dir)
-    print(f'converted SD   -> {sd_dir}/flexdiffuse_tpu_sd.msgpack')
+    print(f'converted SD   -> {sd_dir}/flexdiffuse_tpu_sd_*.msgpack')
     return 0
 
 

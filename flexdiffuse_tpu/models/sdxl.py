@@ -102,7 +102,12 @@ def encode_schema_sdxl(schema, encoder: SDXLTextEncoder,
                        scale: int = 8):
     """Encode a composition :class:`~flexdiffuse_tpu.composition.Schema` for
     the SDXL backbone: dual-encoder contexts per row plus per-row pooled
-    conditioning (closes the SD1.x-only composition gap — docs/STATUS.md #3).
+    conditioning.
+
+    Deliberately mirrors :func:`flexdiffuse_tpu.composition.embeds.
+    encode_schema` — keep the two in sync when changing schema-encoding
+    semantics (the SD1.x path returns no pooled embeddings, which is the
+    structural difference that keeps them separate).
     """
     from flexdiffuse_tpu.composition.embeds import px_to_block
     from flexdiffuse_tpu.pipeline.guides import (CompositeGuidance,

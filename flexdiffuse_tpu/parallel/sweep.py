@@ -100,6 +100,11 @@ def sweep(pipe: FlexPipeline,
         pixels = jnp.asarray(init_image)
         enc_key = jax.random.fold_in(seeds_key[0], 0x33)
         z = pipe._encode(pipe.vae_params, pixels, enc_key)   # [1, h, w, c]
+        if z.shape[1:3] != (h, w):
+            raise ValueError(
+                f'init_image latent grid {z.shape[1:3]} does not match '
+                f'init_size {init_size} (→ {(h, w)}); resize the image or '
+                'pass the matching init_size')
         init_timestep, t_start = schedulers.init_timestep_info(
             schedule, strength, steps)
         base = jnp.broadcast_to(z, (n,) + z.shape[1:])

@@ -108,12 +108,13 @@ class FlexPipeline:
                                                  i - t_start, lat, sub, eta)
                     if inpaint:
                         # Re-anchor the kept region (mask==0) to the init
-                        # image noised to the NEXT position's level, so both
-                        # regions share one trajectory (latent inpainting).
+                        # image noised to this step's OUTPUT level, so both
+                        # regions share one trajectory (latent inpainting;
+                        # level is scheduler-specific — PLMS warm-up included).
                         noise = jax.random.normal(k_inp, new.shape,
                                                   jnp.float32)
-                        anchored = schedulers.noise_to_position(
-                            schedule, init_latents, noise, i + 1)
+                        anchored = schedulers.anchor_noise(
+                            schedule, init_latents, noise, i, i - t_start)
                         new = mask * new + (1.0 - mask) * anchored
                     return new, state
 
@@ -236,7 +237,9 @@ class FlexPipeline:
             if m.ndim == 2:
                 m = m[None, :, :, None]
             elif m.ndim == 3:
-                m = m[None]
+                m = m[None]                    # (H, W, C) → (1, H, W, C)
+            if m.shape[-1] > 1:                # RGB(A) masks → single channel
+                m = jnp.mean(m[..., :3], axis=-1, keepdims=True)
             h, w = latents.shape[1:3]
             if m.shape[1:3] != (h, w):  # pixel-space → latent grid
                 m = jax.image.resize(m, (m.shape[0], h, w, m.shape[-1]),

@@ -77,39 +77,47 @@ def add_noise(schedule: Schedule, sample: Array, noise: Array,
     return ddim_like_add_noise(schedule, sample, noise, t)
 
 
-def noise_to_position(schedule: Schedule, sample: Array, noise: Array,
-                      i: Array) -> Array:
-    """Noise a clean latent to the level of scan position ``i`` (traced).
+def anchor_noise(schedule: Schedule, sample: Array, noise: Array, i: Array,
+                 counter: Array) -> Array:
+    """Noise a clean latent to the level of step ``i``'s OUTPUT (traced).
 
-    ``i`` ranges over ``[0, length]``; position ``length`` means fully clean
-    (σ→0). Used by inpainting to re-noise the kept region to match the
-    denoise trajectory at every step.
+    Used by inpainting to re-anchor the kept region so both mask regions
+    share one trajectory. The output level is scheduler-specific:
+
+    * σ-space (lms/euler) and dpmpp: position ``i+1``'s tables (terminal →
+      clean);
+    * ddim: timestep value ``timesteps[i] − ratio`` (negative → clean);
+    * pndm/PLMS: the warm-up's counter-1 step re-steps the stashed sample to
+      ``timesteps[i]`` itself (pndm.py counter logic), every other step lands
+      at ``timesteps[i] − ratio``.
     """
     i = jnp.asarray(i, jnp.int32)
     length = schedule.length
+    f32 = sample.astype(jnp.float32)
+    n32 = noise.astype(jnp.float32)
     if schedule.kind in ('lms', 'euler'):
-        sigma = schedule.sigmas[jnp.clip(i, 0, length)]
-        return (sample.astype(jnp.float32) +
-                noise.astype(jnp.float32) * sigma).astype(sample.dtype)
+        sigma = schedule.sigmas[jnp.clip(i + 1, 0, length)]
+        return (f32 + n32 * sigma).astype(sample.dtype)
     if schedule.kind == 'dpmpp':
-        clamped = jnp.clip(i, 0, length - 1)
-        clean = i >= length
+        clamped = jnp.clip(i + 1, 0, length - 1)
+        clean = i + 1 >= length
         a = jnp.where(clean, 1.0, schedule.vp_alpha[clamped])
         s = jnp.where(clean, 0.0, schedule.vp_sigma[clamped])
-        return (a * sample.astype(jnp.float32) +
-                s * noise.astype(jnp.float32)).astype(sample.dtype)
-    # ddim / pndm: timestep-value-indexed ᾱ; position `length` is clean.
+        return (a * f32 + s * n32).astype(sample.dtype)
     t = schedule.timesteps[jnp.clip(i, 0, length - 1)].astype(jnp.int32)
-    ap = schedule.alphas_cumprod[jnp.clip(t, 0,
+    t_out = t - schedule.ratio
+    if schedule.kind == 'pndm':
+        t_out = jnp.where(jnp.asarray(counter, jnp.int32) == 1, t, t_out)
+    clean = t_out < 0
+    ap = schedule.alphas_cumprod[jnp.clip(t_out, 0,
                                           schedule.num_train_timesteps - 1)]
-    ap = jnp.where(i >= length, 1.0, ap)
-    return (jnp.sqrt(ap) * sample.astype(jnp.float32) +
-            jnp.sqrt(1.0 - ap) * noise.astype(jnp.float32)).astype(
-                sample.dtype)
+    ap = jnp.where(clean, 1.0, ap)
+    return (jnp.sqrt(ap) * f32 +
+            jnp.sqrt(1.0 - ap) * n32).astype(sample.dtype)
 
 
 __all__ = [
     'Schedule', 'SchedulerConfig', 'make', 'init_state', 'scale_model_input',
     'step', 'add_noise', 'init_timestep_info', 'make_betas',
-    'alphas_cumprod', 'noise_to_position'
+    'alphas_cumprod', 'anchor_noise'
 ]

@@ -51,6 +51,15 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
     return {k: v.float().numpy() for k, v in sd.items()}
 
 
+def _config_tag(*configs) -> str:
+    """Short fingerprint of the model configs a cache was converted under —
+    loading the same snapshot with different configs must not hit a stale
+    cache."""
+    import hashlib
+    text = '|'.join(repr(c) for c in configs)
+    return hashlib.sha1(text.encode()).hexdigest()[:10]
+
+
 def _cached(cache_path: Optional[str], build):
     from flax import serialization
     if cache_path and os.path.exists(cache_path):
@@ -79,7 +88,9 @@ def load_clip(model_dir: str,
             'vision': convert.convert_clip_vision(sd, vision_config),
         }
 
-    cache_path = (os.path.join(model_dir, 'flexdiffuse_tpu_clip.msgpack')
+    tag = _config_tag(text_config, vision_config)
+    cache_path = (os.path.join(model_dir,
+                               f'flexdiffuse_tpu_clip_{tag}.msgpack')
                   if cache else None)
     both = _cached(cache_path, build)
     return {'params': both['text']}, {'params': both['vision']}
@@ -101,7 +112,9 @@ def load_sd(model_dir: str,
             'vae': convert.convert_vae(vae_sd, vae_config),
         }
 
-    cache_path = (os.path.join(model_dir, 'flexdiffuse_tpu_sd.msgpack')
+    tag = _config_tag(unet_config, vae_config)
+    cache_path = (os.path.join(model_dir,
+                               f'flexdiffuse_tpu_sd_{tag}.msgpack')
                   if cache else None)
     both = _cached(cache_path, build)
     return {'params': both['unet']}, {'params': both['vae']}

@@ -133,10 +133,7 @@ def test_img2img_sweep():
     assert np.isfinite(imgs).all()
     # Seeds differ (noise differs) but all share the init image anchor.
     assert np.abs(imgs[0] - imgs[1]).max() > 1e-6
-    # Low strength keeps outputs closer to the init than high strength.
+    # strength changes the noising level → different outputs.
     imgs_hi = sweep(pipe, emb, unc, keys, steps=4, init_size=(32, 32),
                     mesh=mesh, init_image=init, strength=1.0)
-    ref = np.clip(init[0] / 2 + 0.5, 0, 1)
-    d_lo = np.abs(imgs[0] - ref).mean()
-    d_hi = np.abs(imgs_hi[0] - ref).mean()
-    assert np.isfinite(d_lo) and np.isfinite(d_hi)
+    assert np.abs(imgs - imgs_hi).max() > 1e-6

@@ -102,3 +102,34 @@ def test_full_mask_equals_plain_img2img_shape(pipe):
                mask=np.ones((SIZE, SIZE), np.float32), output_type='np',
                key=jax.random.PRNGKey(6)).images
     assert out.shape[0] == 1 and np.isfinite(out).all()
+
+
+def test_anchor_noise_matches_step_output_levels():
+    """anchor_noise must return the init at the VP level each scheduler step
+    OUTPUTS — including PNDM's warm-up quirk (counter 1 re-steps the stashed
+    sample to timesteps[i] itself, one level noisier than position i+1)."""
+    from flexdiffuse_tpu import schedulers
+    sch = schedulers.make('pndm', 6)
+    one = jnp.ones((1, 2, 2, 1))
+    zero = jnp.zeros_like(one)
+    ts = np.asarray(sch.timesteps).astype(int)
+    acp = np.asarray(sch.alphas_cumprod)
+    for i in range(sch.length):
+        for counter in (0, 1, 2):
+            got = float(np.asarray(schedulers.anchor_noise(
+                sch, one, zero, jnp.int32(i), jnp.int32(counter)))[0, 0, 0, 0])
+            t_out = ts[i] if counter == 1 else ts[i] - sch.ratio
+            expect = 1.0 if t_out < 0 else float(np.sqrt(acp[t_out]))
+            np.testing.assert_allclose(got, expect, rtol=1e-6,
+                                       err_msg=f'i={i} c={counter}')
+
+
+def test_rgb_ndarray_mask_accepted(pipe):
+    """A loaded RGB mask (H, W, 3) must collapse to one channel, not crash."""
+    init = _init()
+    rgb_mask = np.zeros((SIZE, SIZE, 3), np.float32)
+    rgb_mask[:, SIZE // 2:] = 1.0
+    out = pipe(_guide(), steps=2, init_image=init, strength=1.0,
+               mask=rgb_mask, output_type='np',
+               key=jax.random.PRNGKey(8)).images
+    assert out.shape[0] == 1 and np.isfinite(out).all()

@@ -181,9 +181,9 @@ def test_runner_loads_from_disk_and_generates(model_root, tmp_path):
     cfg = RunConfig()
     clip_dir = os.path.join(model_root, cfg.clip_model.split('/')[-1])
     sd_dir = os.path.join(model_root, cfg.sd_model.split('/')[-1])
-    assert os.path.exists(
-        os.path.join(clip_dir, 'flexdiffuse_tpu_clip.msgpack'))
-    assert os.path.exists(os.path.join(sd_dir, 'flexdiffuse_tpu_sd.msgpack'))
+    import glob
+    assert glob.glob(os.path.join(clip_dir, 'flexdiffuse_tpu_clip_*.msgpack'))
+    assert glob.glob(os.path.join(sd_dir, 'flexdiffuse_tpu_sd_*.msgpack'))
     # Second load comes from the cache and generates identically.
     runner2 = Runner(model_root=model_root,
                      config=RunConfig(output_dir=str(tmp_path)),

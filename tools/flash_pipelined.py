@@ -94,23 +94,17 @@ def main():
     # Full-UNet scan comparison: swap the kernel via the attention module.
     import flexdiffuse_tpu.ops.flash_attention as fa
     import tools.perf_experiment as pe
+    from flexdiffuse_tpu.models import SD14_UNET, UNet2DCondition
 
-    base = pe.scan_time(
-        lambda: __import__('flexdiffuse_tpu.models', fromlist=['x']
-                           ).UNet2DCondition(
-                               __import__('flexdiffuse_tpu.models',
-                                          fromlist=['x']).SD14_UNET,
-                               dtype=jnp.bfloat16), 'production kernel')
+    def make_unet():
+        return UNet2DCondition(SD14_UNET, dtype=jnp.bfloat16)
+
+    base = pe.scan_time(make_unet, 'production kernel')
     orig = fa.flash_attention
     fa.flash_attention = lambda q, k, v, scale, **kw: pipelined_attention(
         q, k, v, scale)
     try:
-        piped = pe.scan_time(
-            lambda: __import__('flexdiffuse_tpu.models', fromlist=['x']
-                               ).UNet2DCondition(
-                                   __import__('flexdiffuse_tpu.models',
-                                              fromlist=['x']).SD14_UNET,
-                                   dtype=jnp.bfloat16), 'pipelined kernel')
+        piped = pe.scan_time(make_unet, 'pipelined kernel')
     finally:
         fa.flash_attention = orig
     print(f'delta: {base - piped:+.2f} ms/forward '
