@@ -43,6 +43,9 @@ class SchedulerConfig:
     set_alpha_to_one: bool = True
     # PNDM-only: PLMS mode (SD ships skip_prk_steps=True).
     skip_prk_steps: bool = True
+    # Euler/DPM++: Karras et al. (2022) rho-7 sigma spacing — concentrates
+    # steps at low noise for better few-step quality.
+    use_karras_sigmas: bool = False
 
 
 def make_betas(config: SchedulerConfig) -> np.ndarray:
@@ -87,6 +90,21 @@ def ddim_like_add_noise(schedule: Schedule, sample: Array, noise: Array,
     ap = schedule.alphas_cumprod[t]
     return (jnp.sqrt(ap) * sample +
             jnp.sqrt(1.0 - ap) * noise).astype(sample.dtype)
+
+
+def karras_sigmas(sigma_min: float, sigma_max: float, steps: int,
+                  rho: float = 7.0) -> np.ndarray:
+    """Karras et al. (2022) σ spacing (descending, no terminal 0)."""
+    ramp = np.linspace(0.0, 1.0, steps)
+    inv_rho = 1.0 / rho
+    return (sigma_max**inv_rho +
+            ramp * (sigma_min**inv_rho - sigma_max**inv_rho))**rho
+
+
+def sigmas_to_timesteps(sigmas: np.ndarray,
+                        sig_full: np.ndarray) -> np.ndarray:
+    """Invert σ(t) (monotonic in t) to fractional train timesteps."""
+    return np.interp(sigmas, sig_full, np.arange(len(sig_full)))
 
 
 def init_timestep_info(schedule: Schedule, strength: float,

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from flexdiffuse_tpu.schedulers.base import Schedule, SchedulerConfig, \
-    alphas_cumprod
+    alphas_cumprod, karras_sigmas, sigmas_to_timesteps
 from flax import struct
 
 Array = jax.Array
@@ -44,16 +44,22 @@ class DPMSchedule(Schedule):
 
 def make_schedule(config: SchedulerConfig, steps: int) -> DPMSchedule:
     n = config.num_train_timesteps
-    # Integer timesteps, trailing-style spacing (linspace incl. endpoints).
-    ts = np.linspace(0, n - 1, steps + 1).round()[::-1][:-1].astype(
-        np.float64)
     acp = alphas_cumprod(config)
-    idx = ts.astype(int)
-    alpha = np.sqrt(acp[idx])                      # ᾱ^0.5 at each position
-    sigma = np.sqrt(1.0 - acp[idx])
+    if config.use_karras_sigmas:
+        sig_full = np.sqrt((1.0 - acp) / acp)
+        sig_k = karras_sigmas(float(sig_full[0]), float(sig_full[-1]), steps)
+        ts = sigmas_to_timesteps(sig_k, sig_full)
+        alpha = 1.0 / np.sqrt(sig_k**2 + 1.0)
+        sigma = sig_k * alpha
+    else:
+        # Integer timesteps, trailing-style spacing (linspace incl endpoints).
+        ts = np.linspace(0, n - 1, steps + 1).round()[::-1][:-1].astype(
+            np.float64)
+        idx = ts.astype(int)
+        alpha = np.sqrt(acp[idx])                  # ᾱ^0.5 at each position
+        sigma = np.sqrt(1.0 - acp[idx])
+        sig_k = sigma / alpha
     lam = np.log(alpha) - np.log(sigma)
-    # Karras-style sigma for the (σ_t/σ_s) ratio: σ/α.
-    sig_k = sigma / alpha
     # Terminal state: σ→0 ⇒ α→1, λ→∞.
     sig_k_next = np.concatenate([sig_k[1:], [0.0]])
     alpha_next = np.concatenate([alpha[1:], [1.0]])

@@ -14,20 +14,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from flexdiffuse_tpu.schedulers.base import Schedule, SchedulerConfig, \
-    alphas_cumprod
+    alphas_cumprod, karras_sigmas, sigmas_to_timesteps
 
 Array = jax.Array
 
 
 def make_schedule(config: SchedulerConfig, steps: int) -> Schedule:
     n = config.num_train_timesteps
-    ts = np.linspace(n - 1, 0, steps, dtype=np.float64)
     acp = alphas_cumprod(config)
     sig_full = np.sqrt((1.0 - acp) / acp)
-    low = np.floor(ts).astype(int)
-    high = np.ceil(ts).astype(int)
-    frac = np.mod(ts, 1.0)
-    sigmas = (1.0 - frac) * sig_full[low] + frac * sig_full[high]
+    if config.use_karras_sigmas:
+        sigmas = karras_sigmas(float(sig_full[0]), float(sig_full[-1]),
+                               steps)
+        ts = sigmas_to_timesteps(sigmas, sig_full)
+    else:
+        ts = np.linspace(n - 1, 0, steps, dtype=np.float64)
+        low = np.floor(ts).astype(int)
+        high = np.ceil(ts).astype(int)
+        frac = np.mod(ts, 1.0)
+        sigmas = (1.0 - frac) * sig_full[low] + frac * sig_full[high]
     sigmas = np.concatenate([sigmas, [0.0]])
     return Schedule(
         kind='euler',

@@ -139,3 +139,33 @@ def test_pipeline_runs_with_new_schedulers():
         out = pipe(g, steps=3, init_size=(64, 64), output_type='np',
                    key=jax.random.PRNGKey(1))
         assert np.isfinite(out.images).all(), kind
+
+
+def test_karras_sigma_option():
+    """use_karras_sigmas: rho-7 spacing, monotone, endpoints match; the
+    perfect-model recovery still holds (schedule-shape independent)."""
+    from flexdiffuse_tpu.schedulers import SchedulerConfig
+
+    for kind in ('euler', 'dpmpp'):
+        cfg = SchedulerConfig(kind=kind, use_karras_sigmas=True)
+        sch = schedulers.make(kind, 12, cfg)
+        std = schedulers.make(kind, 12)
+        sig_k = np.asarray(sch.sigmas)[:12]
+        sig_s = np.asarray(std.sigmas)[:12]
+        assert (np.diff(sig_k) < 0).all()
+        np.testing.assert_allclose(sig_k[0], sig_s[0], rtol=1e-4)
+        # Karras spends more of the schedule at low noise.
+        assert np.median(sig_k) < np.median(sig_s)
+        assert np.isfinite(np.asarray(sch.timesteps)).all()
+
+    # Exact-recovery property carries over to the Karras spacing.
+    cfg = SchedulerConfig(kind='euler', use_karras_sigmas=True)
+    sch = schedulers.make('euler', 20, cfg)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.uniform(-0.5, 0.5, SHAPE).astype(np.float32))
+    noise = jnp.asarray(rng.normal(size=SHAPE).astype(np.float32))
+    x = x0 + noise * sch.sigmas[0]
+    for i in range(20):
+        eps = (x - x0) / sch.sigmas[i]
+        _, x = schedulers.step(sch, (), eps, jnp.int32(i), jnp.int32(i), x)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-4)
