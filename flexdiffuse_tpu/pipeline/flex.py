@@ -237,7 +237,13 @@ class FlexPipeline:
             if m.ndim == 2:
                 m = m[None, :, :, None]
             elif m.ndim == 3:
-                m = m[None]                    # (H, W, C) → (1, H, W, C)
+                # Disambiguate (H, W, C) from (B, H, W): a trailing dim of
+                # 1/3/4 is a channel axis, anything else a batch-leading
+                # grayscale mask.
+                if m.shape[-1] in (1, 3, 4):
+                    m = m[None]                # (H, W, C) → (1, H, W, C)
+                else:
+                    m = m[:, :, :, None]       # (B, H, W) → (B, H, W, 1)
             if m.shape[-1] > 1:                # RGB(A) masks → single channel
                 m = jnp.mean(m[..., :3], axis=-1, keepdims=True)
             h, w = latents.shape[1:3]

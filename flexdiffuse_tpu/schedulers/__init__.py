@@ -36,6 +36,10 @@ def make(kind: str, steps: int,
     if kind not in _KINDS:
         raise ValueError(f'unknown scheduler {kind!r}; one of {list(_KINDS)}')
     config = config or SchedulerConfig(kind=kind)
+    if config.use_karras_sigmas and kind not in ('euler', 'dpmpp'):
+        raise ValueError(
+            f'use_karras_sigmas is only supported for euler/dpmpp, not '
+            f'{kind!r}')
     return _KINDS[kind].make_schedule(config, steps)
 
 
@@ -70,6 +74,16 @@ def add_noise(schedule: Schedule, sample: Array, noise: Array,
         mod = _lms if schedule.kind == 'lms' else _euler
         return mod.add_noise(schedule, sample, noise,
                              schedule.num_steps - init_timestep)
+    if schedule.kind == 'dpmpp':
+        # Position-indexed VP tables: exact for fractional (Karras)
+        # timesteps where value-indexed alpha-bar would floor.
+        idx = schedule.num_steps - int(init_timestep)
+        if idx >= schedule.length:  # strength ~0: effectively clean
+            return sample
+        a = schedule.vp_alpha[idx]
+        sg = schedule.vp_sigma[idx]
+        return (a * sample.astype(jnp.float32) +
+                sg * noise.astype(jnp.float32)).astype(sample.dtype)
     # Guard init_timestep == 0 (possible for offset-0 schedulers at tiny
     # strength): index -0 would wrap to the *maximum* timestep; the lowest
     # one is correct (and the loop skips every step anyway).
@@ -111,7 +125,10 @@ def anchor_noise(schedule: Schedule, sample: Array, noise: Array, i: Array,
     clean = t_out < 0
     ap = schedule.alphas_cumprod[jnp.clip(t_out, 0,
                                           schedule.num_train_timesteps - 1)]
-    ap = jnp.where(clean, 1.0, ap)
+    # Terminal level is the scheduler's OWN final alpha-bar (pndm: acp[0],
+    # ddim: 1.0 under set_alpha_to_one) so the kept region exactly matches
+    # what the step function's last transfer produces.
+    ap = jnp.where(clean, schedule.final_alpha_cumprod, ap)
     return (jnp.sqrt(ap) * f32 +
             jnp.sqrt(1.0 - ap) * n32).astype(sample.dtype)
 

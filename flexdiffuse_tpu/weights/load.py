@@ -60,10 +60,16 @@ def _config_tag(*configs) -> str:
     return hashlib.sha1(text.encode()).hexdigest()[:10]
 
 
-def _cached(cache_path: Optional[str], build):
+def _cached(cache_path: Optional[str], build,
+            legacy_path: Optional[str] = None):
     from flax import serialization
     if cache_path and os.path.exists(cache_path):
         with open(cache_path, 'rb') as f:
+            return serialization.msgpack_restore(f.read())
+    # Pre-tagging caches (no config fingerprint in the name) are still
+    # valid for default configs — reuse instead of reconverting gigabytes.
+    if legacy_path and os.path.exists(legacy_path):
+        with open(legacy_path, 'rb') as f:
             return serialization.msgpack_restore(f.read())
     params = build()
     if cache_path:
@@ -92,7 +98,11 @@ def load_clip(model_dir: str,
     cache_path = (os.path.join(model_dir,
                                f'flexdiffuse_tpu_clip_{tag}.msgpack')
                   if cache else None)
-    both = _cached(cache_path, build)
+    default_cfgs = (text_config == CLIPTextConfig()
+                    and vision_config == CLIPVisionConfig())
+    legacy = (os.path.join(model_dir, 'flexdiffuse_tpu_clip.msgpack')
+              if cache and default_cfgs else None)
+    both = _cached(cache_path, build, legacy)
     return {'params': both['text']}, {'params': both['vision']}
 
 
@@ -116,5 +126,9 @@ def load_sd(model_dir: str,
     cache_path = (os.path.join(model_dir,
                                f'flexdiffuse_tpu_sd_{tag}.msgpack')
                   if cache else None)
-    both = _cached(cache_path, build)
+    default_cfgs = (unet_config == UNetConfig()
+                    and vae_config == VAEConfig())
+    legacy = (os.path.join(model_dir, 'flexdiffuse_tpu_sd.msgpack')
+              if cache and default_cfgs else None)
+    both = _cached(cache_path, build, legacy)
     return {'params': both['unet']}, {'params': both['vae']}

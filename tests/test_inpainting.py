@@ -41,19 +41,28 @@ def test_mask_requires_init_image(pipe):
         pipe(_guide(), steps=2, mask=np.ones((SIZE, SIZE), np.float32))
 
 
-def test_keep_all_mask_returns_vae_roundtrip(pipe):
+def test_keep_all_mask_returns_vae_roundtrip():
     """mask = 0 everywhere → every step re-anchors to the init latents, so
-    the output is exactly the VAE roundtrip of the init image."""
+    the output is exactly the VAE roundtrip of the init image. Euler's
+    terminal σ is exactly 0 so the check is bit-near (PNDM's terminal level
+    is its final_alpha_cumprod, checked separately with tolerance)."""
+    k = jax.random.PRNGKey(0)
+    unet = UNet2DCondition(TINY_UNET)
+    up = unet.init(k, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+                   jnp.zeros((1, T, D)))
+    vae = AutoencoderKL(TINY_VAE)
+    vp = vae.init(k, jnp.zeros((1, 16, 16, 3)), k)
+    p = FlexPipeline(unet, up, vae, vp, scheduler='euler')
     init = _init()
     key = jax.random.PRNGKey(3)
-    out = pipe(_guide(), steps=4, init_image=init, strength=1.0,
-               mask=np.zeros((SIZE, SIZE), np.float32), output_type='np',
-               key=key).images
+    out = p(_guide(), steps=4, init_image=init, strength=1.0,
+            mask=np.zeros((SIZE, SIZE), np.float32), output_type='np',
+            key=key).images
     # Reference value: encode (with the same sub-key the pipeline derives)
     # then decode directly.
     _, k_enc, _, _ = jax.random.split(key, 4)
-    z = pipe._encode(pipe.vae_params, jnp.asarray(init), k_enc)
-    expect = np.asarray(pipe._decode(pipe.vae_params, z))
+    z = p._encode(p.vae_params, jnp.asarray(init), k_enc)
+    expect = np.asarray(p._decode(p.vae_params, z))
     np.testing.assert_allclose(out, expect, atol=1e-4)
 
 
@@ -89,11 +98,14 @@ def test_half_mask_keeps_half_latents(pipe, kind):
                          init_latents=z, mask=mask, inpaint=True)
     final = np.asarray(final)
     zref = np.asarray(z)
-    # Kept half == init latents exactly (final anchor is σ→0 = clean).
+    # Kept half == init latents at the scheduler's terminal level: exactly
+    # clean for euler/dpmpp (σ→0); PNDM's terminal alpha-bar is acp[0], so
+    # √(1−acp[0]) ≈ 2.9% noise std remains — matching its own final step.
+    tol = 0.2 if kind == 'pndm' else 1e-5
     np.testing.assert_allclose(final[:, :, :w // 2], zref[:, :, :w // 2],
-                               atol=1e-5)
-    # Regenerated half differs.
-    assert np.abs(final[:, :, w // 2:] - zref[:, :, w // 2:]).max() > 1e-3
+                               atol=tol)
+    # Regenerated half differs a lot more than any terminal noise.
+    assert np.abs(final[:, :, w // 2:] - zref[:, :, w // 2:]).max() > 0.5
 
 
 def test_full_mask_equals_plain_img2img_shape(pipe):
@@ -119,7 +131,9 @@ def test_anchor_noise_matches_step_output_levels():
             got = float(np.asarray(schedulers.anchor_noise(
                 sch, one, zero, jnp.int32(i), jnp.int32(counter)))[0, 0, 0, 0])
             t_out = ts[i] if counter == 1 else ts[i] - sch.ratio
-            expect = 1.0 if t_out < 0 else float(np.sqrt(acp[t_out]))
+            # pndm's terminal transfer uses final_alpha_cumprod = acp[0].
+            expect = (float(np.sqrt(sch.final_alpha_cumprod)) if t_out < 0
+                      else float(np.sqrt(acp[t_out])))
             np.testing.assert_allclose(got, expect, rtol=1e-6,
                                        err_msg=f'i={i} c={counter}')
 
