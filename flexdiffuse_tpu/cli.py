@@ -24,6 +24,8 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
                    help='dir with HF snapshots of SD-1.4 and CLIP ViT-L/14')
     p.add_argument('--scheduler', default='pndm',
                    choices=('ddim', 'pndm', 'lms', 'euler', 'dpmpp'))
+    p.add_argument('--clip-skip', type=int, default=0, choices=(0, 1),
+                   help='1 = condition on the penultimate CLIP layer')
 
 
 def _runner(args):
@@ -32,7 +34,8 @@ def _runner(args):
     return Runner(model_root=args.models,
                   config=RunConfig(output_dir=getattr(args, 'out',
                                                       './outputs')),
-                  scheduler=args.scheduler)
+                  scheduler=args.scheduler,
+                  clip_skip=getattr(args, 'clip_skip', 0))
 
 
 def cmd_download(args) -> int:

@@ -29,16 +29,23 @@ Array = jax.Array
 
 class CLIPEncoder:
     def __init__(self, text_model, text_params, vision_model, vision_params,
-                 tokenizer) -> None:
+                 tokenizer, clip_skip: int = 0) -> None:
+        """``clip_skip=1`` conditions on the penultimate hidden state (no
+        final LN) — the community knob many fine-tuned SD checkpoints are
+        trained against; 0 is the reference behavior."""
         self.tokenizer = tokenizer
-        self._text_apply = jax.jit(text_model.apply)
+        self._text_apply = jax.jit(text_model.apply,
+                                   static_argnames=('output',))
         self._vision_apply = jax.jit(vision_model.apply)
         self._text_params = text_params
         self._vision_params = vision_params
+        if clip_skip not in (0, 1):
+            raise ValueError('clip_skip must be 0 or 1')
+        self._output = 'penultimate' if clip_skip else 'final'
 
     def prompt(self, prompt: Union[str, List[str]]) -> Array:
         ids = jnp.asarray(self.tokenizer(prompt))
-        return self._text_apply(self._text_params, ids)
+        return self._text_apply(self._text_params, ids, output=self._output)
 
     def image(self, image) -> Array:
         if isinstance(image, np.ndarray) and image.ndim == 4:

@@ -63,7 +63,8 @@ class Runner:
                  text_config=None,
                  vision_config=None,
                  unet_config=None,
-                 vae_config=None) -> None:
+                 vae_config=None,
+                 clip_skip: int = 0) -> None:
         """Load from HF snapshot dirs under ``model_root`` (default configs
         are the reference's SD-1.4 + CLIP ViT-L/14 geometry; the ``*_config``
         overrides exist for alternative checkpoints and loading-path tests).
@@ -97,7 +98,7 @@ class Runner:
         vae = AutoencoderKL(vae_config, dtype=dtype)
         self._init_common(text_model, text_params, vision_model,
                           vision_params, unet, unet_params, vae, vae_params,
-                          tokenizer, scheduler)
+                          tokenizer, scheduler, clip_skip)
 
     @classmethod
     def from_models(cls, text_model, text_params, vision_model,
@@ -113,9 +114,10 @@ class Runner:
 
     def _init_common(self, text_model, text_params, vision_model,
                      vision_params, unet, unet_params, vae, vae_params,
-                     tokenizer, scheduler) -> None:
+                     tokenizer, scheduler, clip_skip: int = 0) -> None:
         self.encoder = CLIPEncoder(text_model, text_params, vision_model,
-                                   vision_params, tokenizer)
+                                   vision_params, tokenizer,
+                                   clip_skip=clip_skip)
         self.guide = Guide(self.encoder)
         self.pipe = FlexPipeline(unet, unet_params, vae, vae_params,
                                  scheduler=scheduler)

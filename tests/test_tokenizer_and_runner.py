@@ -154,3 +154,23 @@ def test_runner_negative_prompt_changes_output(tiny_runner):
     import numpy as np
     assert np.abs(np.asarray(a[0], np.float32) -
                   np.asarray(b[0], np.float32)).max() > 0
+
+
+def test_clip_skip_changes_conditioning():
+    from flexdiffuse_tpu.encode import CLIPEncoder
+    from flexdiffuse_tpu.models import CLIPTextModel, CLIPVisionModel, \
+        TINY_TEXT, TINY_VISION
+    k = jax.random.PRNGKey(0)
+    text = CLIPTextModel(TINY_TEXT)
+    tp = text.init(k, jnp.zeros((1, 77), jnp.int32))
+    vision = CLIPVisionModel(TINY_VISION)
+    vp = vision.init(k, jnp.zeros((1, 32, 32, 3)))
+    std = CLIPEncoder(text, tp, vision, vp, FakeTokenizer())
+    skip = CLIPEncoder(text, tp, vision, vp, FakeTokenizer(), clip_skip=1)
+    a = np.asarray(std.prompt('a deer'))
+    b = np.asarray(skip.prompt('a deer'))
+    assert a.shape == b.shape
+    assert np.abs(a - b).max() > 1e-4
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        CLIPEncoder(text, tp, vision, vp, FakeTokenizer(), clip_skip=2)
