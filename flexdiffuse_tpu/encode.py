@@ -30,9 +30,10 @@ Array = jax.Array
 class CLIPEncoder:
     def __init__(self, text_model, text_params, vision_model, vision_params,
                  tokenizer, clip_skip: int = 0) -> None:
-        """``clip_skip=1`` conditions on the penultimate hidden state (no
-        final LN) — the community knob many fine-tuned SD checkpoints are
-        trained against; 0 is the reference behavior."""
+        """``clip_skip=1`` conditions on the penultimate hidden state run
+        through ``final_layer_norm`` — the diffusers/A1111 convention many
+        fine-tuned SD1.x checkpoints are trained against (the raw un-normed
+        tap is the SDXL path, not this one); 0 is the reference behavior."""
         self.tokenizer = tokenizer
         self._text_apply = jax.jit(text_model.apply,
                                    static_argnames=('output',))
@@ -41,7 +42,7 @@ class CLIPEncoder:
         self._vision_params = vision_params
         if clip_skip not in (0, 1):
             raise ValueError('clip_skip must be 0 or 1')
-        self._output = 'penultimate' if clip_skip else 'final'
+        self._output = 'penultimate_norm' if clip_skip else 'final'
 
     def prompt(self, prompt: Union[str, List[str]]) -> Array:
         ids = jnp.asarray(self.tokenizer(prompt))

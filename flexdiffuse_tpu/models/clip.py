@@ -128,6 +128,9 @@ class CLIPTextModel(nn.Module):
         """``output``: 'final' → post-LN last hidden state (SD1.x path,
         reference encode/clip.py:64-65); 'penultimate' → the hidden state one
         layer before the end, un-normalized (SDXL conditioning);
+        'penultimate_norm' → the same tapped state with ``final_layer_norm``
+        applied — the diffusers/A1111 ``clip_skip`` convention for SD1.x
+        checkpoints fine-tuned against normalized penultimate conditioning;
         'penultimate_and_pooled' → ``(penultimate, pooled_projection)`` where
         pooled is the EOS-position final state through ``text_projection``.
         """
@@ -151,6 +154,9 @@ class CLIPTextModel(nn.Module):
         x, penult = enc(x, causal, stop_at=1)
         if output == 'penultimate':
             return penult
+        if output == 'penultimate_norm':
+            return nn.LayerNorm(epsilon=1e-5, name='final_layer_norm',
+                                dtype=self.dtype)(penult)
         assert output == 'penultimate_and_pooled'
         final = nn.LayerNorm(epsilon=1e-5, name='final_layer_norm',
                              dtype=self.dtype)(x)

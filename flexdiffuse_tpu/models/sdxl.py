@@ -149,9 +149,16 @@ def tween_sdxl_context(tweener, ctx: Array, patch_embeddings: Array,
                        l_dim: int = 768) -> Array:
     """Apply FlexDiffuse image-guidance tweening to the CLIP-L half of an
     SDXL context (the ``l_dim``-d slice patch embeddings are comparable
-    with); the bigG half is left untouched."""
+    with); the bigG half is left untouched. Batched contexts tween each row
+    independently (mirrors Guide.embeds' per-prompt loop for SD1.x)."""
     l_half = ctx[..., :l_dim]
-    blended = tweener.tween(l_half, patch_embeddings)
+    if ctx.ndim == 3:
+        blended = jnp.stack([
+            tweener.tween(l_half[i], patch_embeddings)
+            for i in range(ctx.shape[0])
+        ])
+    else:
+        blended = tweener.tween(l_half, patch_embeddings)
     return ctx.at[..., :l_dim].set(blended)
 
 

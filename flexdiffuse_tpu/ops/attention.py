@@ -11,6 +11,8 @@ and XLA's own fusion is already fine.
 """
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 from typing import Optional
 
@@ -23,15 +25,33 @@ Array = jax.Array
 # kernel pays grid setup + padding costs that only amortize at scale).
 FLASH_MIN_SEQ = 1024
 
-_BACKEND = 'auto'  # 'auto' | 'xla' | 'flash'
+# Context-local (thread/task-safe — the UI server dispatches generations from
+# handler threads, so a process-global would race): 'auto' | 'xla' | 'flash'.
+_BACKEND: contextvars.ContextVar = contextvars.ContextVar(
+    'attention_backend', default='auto')
+
+
+def _validate(name: str) -> None:
+    if name not in ('auto', 'xla', 'flash'):
+        raise ValueError(f'unknown attention backend {name!r}')
 
 
 def set_backend(name: str) -> None:
-    """Force the attention backend globally ('auto', 'xla', 'flash')."""
-    global _BACKEND
-    if name not in ('auto', 'xla', 'flash'):
-        raise ValueError(f'unknown attention backend {name!r}')
-    _BACKEND = name
+    """Force the attention backend for the current context
+    ('auto', 'xla', 'flash')."""
+    _validate(name)
+    _BACKEND.set(name)
+
+
+@contextlib.contextmanager
+def backend(name: str):
+    """Scoped attention-backend override: ``with backend('xla'): ...``."""
+    _validate(name)
+    token = _BACKEND.set(name)
+    try:
+        yield
+    finally:
+        _BACKEND.reset(token)
 
 
 def xla_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
@@ -46,11 +66,18 @@ def xla_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
 
 
 def attention(q: Array, k: Array, v: Array,
-              scale: Optional[float] = None) -> Array:
-    """Multi-head attention ``[B, H, Sq, D] × [B, H, Skv, D] -> [B, H, Sq, D]``."""
+              scale: Optional[float] = None,
+              backend: Optional[str] = None) -> Array:
+    """Multi-head attention ``[B, H, Sq, D] × [B, H, Skv, D] -> [B, H, Sq, D]``.
+
+    ``backend`` overrides the context-local setting for this call.
+    """
     if scale is None:
         scale = q.shape[-1]**-0.5
-    backend = _BACKEND
+    if backend is None:
+        backend = _BACKEND.get()
+    else:
+        _validate(backend)
     big = (q.shape[-2] >= FLASH_MIN_SEQ and k.shape[-2] >= FLASH_MIN_SEQ)
     # The kernel needs block-divisible sequences; odd resolutions (e.g.
     # 832² → seq 10816) fall back to the XLA path instead of failing.

@@ -77,7 +77,14 @@ def make_schedule(config: SchedulerConfig, steps: int) -> DPMSchedule:
             h_prev, 1e-20), 0.0)
     use_2nd = np.zeros(steps, bool)
     if steps > 2:
-        use_2nd[1:-1] = True                        # lower_order_final
+        # First step has no history; the FINAL step must be first-order here
+        # regardless of step count: this schedule uses a zero terminal sigma,
+        # so h_final = λ_∞ − λ = ∞ and the D1 factor h/h_prev diverges.
+        # diffusers encodes the same rule — with final_sigmas_type="zero"
+        # (its default) the last step is forced to first order at any step
+        # count; the `lower_order_final and steps < 15` branch only governs
+        # the legacy sigma_min-terminal schedule, which we don't build.
+        use_2nd[1:-1] = True
     r0_inv = np.where(use_2nd, np.nan_to_num(r0_inv), 0.0)
 
     return DPMSchedule(

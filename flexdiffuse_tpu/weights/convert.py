@@ -34,7 +34,14 @@ def _dense(sd: SD, name: str, bias: bool = True) -> dict:
 
 
 def _conv(sd: SD, name: str, bias: bool = True) -> dict:
-    w = np.asarray(sd[f'{name}.weight']).transpose(2, 3, 1, 0)
+    w = np.asarray(sd[f'{name}.weight'])
+    if w.ndim == 2:
+        # use_linear_projection checkpoints (SD2.x / SDXL-base) store the
+        # transformer proj_in/proj_out as Linear [out, in]; our model keeps
+        # a Conv(1,1), so emit the numerically identical 1×1 kernel.
+        w = w.T[None, None]
+    else:
+        w = w.transpose(2, 3, 1, 0)
     out = {'kernel': w}
     if bias:
         out['bias'] = np.asarray(sd[f'{name}.bias'])

@@ -129,6 +129,27 @@ def test_tween_sdxl_context_blends_l_half_only(dual_encoder):
                   np.asarray(ctx[..., :l])).max() > 1e-6
 
 
+def test_tween_sdxl_context_batched_rows_independent(dual_encoder):
+    """Each batch row gets its own tween (ADVICE r1: row 0's tween must not
+    broadcast over rows 1..B-1)."""
+    from flexdiffuse_tpu.guidance import Tweener, GuidanceParams
+    ctx, _ = dual_encoder.encode(['a deer', 'a bear in a forest'])
+    patches = jnp.asarray(np.random.default_rng(3).normal(
+        size=(40, TINY_TEXT.hidden_size)).astype(np.float32))
+    tw = Tweener(GuidanceParams.ui_defaults())
+    l = TINY_TEXT.hidden_size
+    out = tween_sdxl_context(tw, ctx, patches[None], l_dim=l)
+    assert out.shape == ctx.shape
+    # Row i must equal tweening row i alone.
+    for i in range(ctx.shape[0]):
+        solo = tween_sdxl_context(tw, ctx[i:i + 1], patches[None], l_dim=l)
+        np.testing.assert_allclose(np.asarray(out[i]), np.asarray(solo[0]),
+                                   atol=1e-6)
+    # The two rows' L halves are genuinely different blends.
+    assert np.abs(np.asarray(out[0, :, :l]) -
+                  np.asarray(out[1, :, :l])).max() > 1e-6
+
+
 def test_sdxl_composition_end_to_end(dual_encoder):
     """SDXL regional composition: per-row pooled conditioning through the
     pipeline (closes docs/STATUS.md gap #3)."""

@@ -53,6 +53,49 @@ def test_text_tower_parity(hf_clip):
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
 
 
+def test_clip_skip_penultimate_norm_parity(hf_clip):
+    """clip_skip taps the penultimate hidden state and applies
+    final_layer_norm (the diffusers/A1111 SD1.x convention)."""
+    model, sd = hf_clip
+    cfg = CLIPTextConfig(vocab_size=500, hidden_size=32, num_layers=2,
+                         num_heads=4, max_positions=77, intermediate_size=64)
+    params = {'params': convert.convert_clip_text(sd, cfg)}
+    flax_model = CLIPTextModel(cfg)
+
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, 500, size=(1, 77))
+    with torch.no_grad():
+        out = model.text_model(torch.tensor(ids), output_hidden_states=True)
+        ref = model.text_model.final_layer_norm(
+            out.hidden_states[-2]).numpy()
+    got = np.asarray(
+        flax_model.apply(params, jnp.asarray(ids), output='penultimate_norm'))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+    # And it differs from the raw un-normed tap (the SDXL path).
+    raw = np.asarray(
+        flax_model.apply(params, jnp.asarray(ids), output='penultimate'))
+    assert not np.allclose(got, raw, atol=1e-3)
+
+
+def test_linear_projection_conv_equivalence():
+    """use_linear_projection checkpoints (SD2.x/SDXL) store transformer
+    proj_in/proj_out as 2-D Linear tensors; the converter must emit the
+    numerically identical 1×1 conv kernel (ADVICE r1, high)."""
+    rng = np.random.default_rng(3)
+    w = rng.normal(size=(12, 8)).astype(np.float32)   # Linear [out, in]
+    b = rng.normal(size=(12,)).astype(np.float32)
+    out = convert._conv({'p.weight': w, 'p.bias': b}, 'p')
+    assert out['kernel'].shape == (1, 1, 8, 12)
+    x = rng.normal(size=(2, 4, 4, 8)).astype(np.float32)
+    got = np.einsum('bhwi,io->bhwo', x, out['kernel'][0, 0]) + out['bias']
+    ref = x @ w.T + b
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    # 4-D conv weights still take the transpose path.
+    w4 = rng.normal(size=(12, 8, 3, 3)).astype(np.float32)
+    out4 = convert._conv({'p.weight': w4, 'p.bias': b}, 'p')
+    assert out4['kernel'].shape == (3, 3, 8, 12)
+
+
 def test_vision_tower_all_patch_parity(hf_clip):
     model, sd = hf_clip
     cfg = CLIPVisionConfig(hidden_size=40, num_layers=2, num_heads=4,
