@@ -54,6 +54,30 @@ def backend(name: str):
         _BACKEND.reset(token)
 
 
+# Sequence-parallel mode: (mesh, axis_name, min_seq). While set, self-
+# attention with the token dim sharded over `axis_name` routes through ring
+# attention (ops/ring_attention.py) — K/V blocks rotate over ICI instead of
+# any chip holding the full sequence. Trace-time state like _BACKEND.
+_SP: contextvars.ContextVar = contextvars.ContextVar('attention_sp',
+                                                     default=None)
+
+
+@contextlib.contextmanager
+def sp_context(mesh, axis: str, min_seq: int = 4096):
+    """Scoped sequence-parallel attention over ``mesh`` axis ``axis``.
+
+    Self-attention (sq == skv) with sequence ≥ ``min_seq`` and divisible by
+    the axis size rides the ring; everything else (cross-attention's 77-token
+    K/V, small levels) stays on the local path where GSPMD replication is
+    cheaper than a ring rotation.
+    """
+    token = _SP.set((mesh, axis, min_seq))
+    try:
+        yield
+    finally:
+        _SP.reset(token)
+
+
 def xla_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
     """Reference attention: softmax in fp32, inputs any dtype.
 
@@ -74,6 +98,18 @@ def attention(q: Array, k: Array, v: Array,
     """
     if scale is None:
         scale = q.shape[-1]**-0.5
+    sp = _SP.get()
+    if sp is not None and q.ndim == 4:
+        mesh, axis, min_seq = sp
+        n = mesh.shape[axis]
+        sq, skv = q.shape[-2], k.shape[-2]
+        if sq == skv and sq >= min_seq and sq % n == 0:
+            from flexdiffuse_tpu.ops.ring_attention import ring_attention
+            return ring_attention(q, k, v, mesh, axis, scale)
+        # Below-threshold / cross attention under SP: the Pallas kernel has
+        # no GSPMD partitioning rule (it would force replication); the XLA
+        # einsum path partitions cleanly along the sharded q rows.
+        return xla_attention(q, k, v, scale)
     if backend is None:
         backend = _BACKEND.get()
     else:

@@ -60,6 +60,46 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
+def _flash_stream_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+                         *, scale: float):
+    """Streaming variant: grid dim 2 walks K/V blocks ('arbitrary'
+    semantics), online-softmax state lives in VMEM scratch across steps."""
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)      # [bq, d]
+    kb = k_ref[0]                                        # [bk, d]
+    vb = v_ref[0]
+    s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    m_prev = m_ref[:, :1]                                # replicated lanes
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] * alpha + pv
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(j == nj - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+# Full-K/V-resident kernel cap: 2 tensors × 2 pipeline buffers × skv × 128
+# padded lanes × itemsize must leave VMEM room for q/o/acc blocks. Beyond
+# this the streaming kernel takes over (refetches K/V per q block — the
+# right trade at long sequence, impossible shapes for the XLA path anyway).
+_FULL_KV_VMEM_BYTES = 8 * 1024 * 1024
+
+
 @functools.partial(jax.jit,
                    static_argnames=('scale', 'block_q', 'block_k',
                                     'interpret'))
@@ -70,6 +110,8 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float,
 
     Sq must divide by ``block_q`` (shrunk automatically when smaller) and
     Skv by ``block_k``; SD's power-of-two token grids always satisfy this.
+    Short K/V sequences keep the whole K/V resident in VMEM (zero refetch);
+    long ones stream K/V blocks with scratch-carried softmax state.
     """
     b, h, sq, d = q.shape
     skv = k.shape[2]
@@ -85,20 +127,47 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float,
     kf = k.reshape(b * h, skv, d)
     vf = v.reshape(b * h, skv, d)
 
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, block_k=block_k),
-        grid=(b * h, sq // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv, d), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv, d), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
-        interpret=interpret,
-    )(qf, kf, vf)
+    kv_bytes = 4 * skv * max(d, 128) * jnp.dtype(k.dtype).itemsize
+    if kv_bytes <= _FULL_KV_VMEM_BYTES:
+        out = pl.pallas_call(
+            functools.partial(_flash_kernel, scale=scale, block_k=block_k),
+            grid=(b * h, sq // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, skv, d), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, skv, d), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+            interpret=interpret,
+        )(qf, kf, vf)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_flash_stream_kernel, scale=scale),
+            grid=(b * h, sq // block_q, skv // block_k),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda i, qi, j: (i, qi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, d), lambda i, qi, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, d), lambda i, qi, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d),
+                                   lambda i, qi, j: (i, qi, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, d), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+            interpret=interpret,
+        )(qf, kf, vf)
     return out.reshape(b, h, sq, d)

@@ -70,7 +70,16 @@ class FlexPipeline:
     def __init__(self, unet, unet_params, vae, vae_params,
                  scheduler: str = 'pndm',
                  scheduler_config: Optional[schedulers.SchedulerConfig] = None,
-                 latent_scale: float = LATENT_SCALE) -> None:
+                 latent_scale: float = LATENT_SCALE,
+                 sp_mesh=None, sp_axis: str = 'seq',
+                 sp_min_seq: int = 4096) -> None:
+        """``sp_mesh`` (a :class:`jax.sharding.Mesh`) enables sequence-
+        parallel generation: latent rows shard over ``sp_axis``, convs/norms
+        partition via GSPMD (halo exchanges/psums inserted by XLA), and
+        self-attention with ≥ ``sp_min_seq`` tokens rides ring attention
+        (ops/ring_attention.py) — the ≥1024² multi-chip mode. Build one
+        pipeline instance per mode; each instance owns its compiled programs.
+        """
         self.unet = unet
         self.unet_params = unet_params
         self.vae = vae
@@ -81,10 +90,27 @@ class FlexPipeline:
         self.latent_channels = vae.config.latent_channels
         self.vae_scale = 2**(len(vae.config.block_channels) - 1)
         self.latent_scale = latent_scale
+        self.sp_mesh = sp_mesh
+        self.sp_axis = sp_axis
+        self.sp_min_seq = sp_min_seq
 
         unet_apply = unet.apply
         vae_apply = vae.apply
         latent_scale = self.latent_scale
+
+        if sp_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from flexdiffuse_tpu.ops import attention as _attn_mod
+            row_sharding = NamedSharding(
+                sp_mesh, PartitionSpec(None, sp_axis, None, None))
+            base_unet_apply = unet_apply
+
+            def unet_apply(params, lat, t, ctx, added=None):
+                lat = jax.lax.with_sharding_constraint(lat, row_sharding)
+                with _attn_mod.sp_context(sp_mesh, sp_axis, sp_min_seq):
+                    return base_unet_apply(params, lat, t, ctx, added)
+
+            self._sp_sharding = row_sharding
 
         @functools.partial(jax.jit, static_argnames=('debug', 'inpaint'))
         def _sample(unet_params, schedule, state0, guidance, latents,
@@ -169,6 +195,10 @@ class FlexPipeline:
     def latents_to_images(self, latents: Array,
                           pil: bool = True) -> Union[np.ndarray, list]:
         """VAE-decode latents to [0,1] images (reference flex.py:112-124)."""
+        if self.sp_mesh is not None:
+            # Row-sharded decode: GSPMD propagates the input sharding through
+            # the (purely convolutional + one mid-attention) decoder.
+            latents = jax.device_put(latents, self._sp_sharding)
         img = np.asarray(self._decode(self.vae_params, latents))
         return to_pil(img) if pil else img
 

@@ -118,10 +118,14 @@ def anchor_noise(schedule: Schedule, sample: Array, noise: Array, i: Array,
         a = jnp.where(clean, 1.0, schedule.vp_alpha[clamped])
         s = jnp.where(clean, 0.0, schedule.vp_sigma[clamped])
         return (a * f32 + s * n32).astype(sample.dtype)
-    t = schedule.timesteps[jnp.clip(i, 0, length - 1)].astype(jnp.int32)
-    t_out = t - schedule.ratio
-    if schedule.kind == 'pndm':
-        t_out = jnp.where(jnp.asarray(counter, jnp.int32) == 1, t, t_out)
+    if schedule.kind == 'pndm' and getattr(schedule, 'prk', False):
+        # PRK tables carry each position's exact output level.
+        t_out = schedule.prev_tr[jnp.clip(i, 0, length - 1)].astype(jnp.int32)
+    else:
+        t = schedule.timesteps[jnp.clip(i, 0, length - 1)].astype(jnp.int32)
+        t_out = t - schedule.ratio
+        if schedule.kind == 'pndm':
+            t_out = jnp.where(jnp.asarray(counter, jnp.int32) == 1, t, t_out)
     clean = t_out < 0
     ap = schedule.alphas_cumprod[jnp.clip(t_out, 0,
                                           schedule.num_train_timesteps - 1)]

@@ -45,6 +45,21 @@ def test_per_call_override_beats_context():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
+def test_streaming_flash_matches_xla():
+    """K/V too large for full-VMEM residency routes to the streaming kernel
+    (scratch-carried online softmax) and must stay exact."""
+    from flexdiffuse_tpu.ops import flash_attention as F
+    rng = np.random.default_rng(4)
+    s, d = 8192, 32   # fp32: 4*8192*128*4 = 16MB > _FULL_KV_VMEM_BYTES
+    q = jnp.asarray(rng.normal(size=(1, 2, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 2, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 2, s, d)).astype(np.float32))
+    assert 4 * s * 128 * 4 > F._FULL_KV_VMEM_BYTES
+    o = F.flash_attention(q, k, v, d**-0.5)
+    ref = A.xla_attention(q, k, v, d**-0.5)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=2e-5)
+
+
 def test_set_backend_is_thread_local():
     """A set_backend in one thread must not leak into another (the UI server
     generates from handler threads — VERDICT r1 weak #6)."""
