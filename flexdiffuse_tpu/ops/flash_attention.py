@@ -56,7 +56,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
     acc = jnp.zeros((bq, d), jnp.float32)
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_kv, body, (acc, m0, l0))
+    carry = (acc, m0, l0)
+    # Unrolled (static trip count): QK(j+1) has no data dependency on block
+    # j's softmax/PV, so exposing the whole DAG lets Mosaic overlap the MXU
+    # matmuls with the VPU softmax of the previous block — a fori_loop body
+    # is scheduled as one serialized region per iteration instead
+    # (tools/flash_opt.py measured the difference on-chip).
+    for j in range(num_kv):
+        carry = body(j, carry)
+    acc, m, l = carry
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
@@ -104,7 +112,7 @@ _FULL_KV_VMEM_BYTES = 8 * 1024 * 1024
                    static_argnames=('scale', 'block_q', 'block_k',
                                     'interpret'))
 def flash_attention(q: Array, k: Array, v: Array, scale: float,
-                    block_q: int = 512, block_k: int = 512,
+                    block_q: int = 1024, block_k: int = 1024,
                     interpret: bool | None = None) -> Array:
     """``[B, H, Sq, D] × [B, H, Skv, D] → [B, H, Sq, D]`` flash attention.
 
