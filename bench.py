@@ -1,13 +1,18 @@
-"""Benchmark: SD-1.x 512² denoise-loop steps/sec on one chip.
+"""Benchmark: the full SD-1.x north-star metric set on one chip.
 
 Prints ONE JSON line:
-``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``.
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}``.
 
-Measures the real product workload — the compiled ``lax.scan`` sampling loop
-(CFG-doubled UNet + PLMS scheduler update per step, the exact program
-``FlexPipeline`` runs) at 512×512 with the true SD-1.4 UNet geometry in bf16,
-random weights. Steps are data-dependent (each consumes the previous
-latents), so the timing cannot be inflated by async dispatch overlap.
+Primary value — denoise-loop steps/sec — measures the real product
+workload: the compiled ``lax.scan`` sampling loop (CFG-doubled UNet + PLMS
+scheduler update per step, the exact program ``FlexPipeline`` runs) at
+512×512 with the true SD-1.4 UNet geometry in bf16, random weights. Steps
+are data-dependent (each consumes the previous latents), so the timing
+cannot be inflated by async dispatch overlap.
+
+Extras carry the rest of BASELINE.json's metric set: end-to-end p50 image
+latency (CLIP ViT-L/14 text encode + 25-step denoise + VAE 512² decode +
+host fetch) and the per-phase on-wall breakdown.
 
 The reference publishes no perf numbers (BASELINE.md); ``vs_baseline``
 compares the Pallas flash-attention path against the same framework's
@@ -21,6 +26,13 @@ import time
 
 STEPS = 25
 IMAGE = 512
+
+
+def _params_like(shapes):
+    import jax
+    import jax.numpy as jnp
+    return jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
 
 
 def _build(scheduler_steps: int = STEPS):
@@ -37,8 +49,7 @@ def _build(scheduler_steps: int = STEPS):
     shapes = jax.eval_shape(
         lambda k: unet.init(k, jnp.zeros((2, hw, hw, 4)), jnp.zeros((2,)),
                             ctx), jax.random.PRNGKey(0))
-    params = jax.tree_util.tree_map(
-        lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
+    params = _params_like(shapes)
 
     schedule = schedulers.make('pndm', scheduler_steps)
     state0 = schedulers.init_state(schedule, latents.shape, latents.dtype)
@@ -65,36 +76,98 @@ def _build(scheduler_steps: int = STEPS):
 
 
 def _time(sample, args, length: int, iters: int = 3):
-    out = sample(*args)
-    out.block_until_ready()  # compile + warmup
+    import numpy as np
+    out = np.asarray(sample(*args))  # compile + warmup, fetch-forced
     best = float('inf')
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = sample(*args)
-        out.block_until_ready()
+        out = np.asarray(sample(*args))
         best = min(best, time.perf_counter() - t0)
     return length / best, best
 
 
+def _build_e2e(sample, sample_args):
+    """CLIP text encode + denoise scan + VAE decode, timed per phase."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flexdiffuse_tpu.models import (CLIP_VIT_L14_TEXT, SD14_VAE,
+                                        AutoencoderKL, CLIPTextModel)
+
+    clip = CLIPTextModel(CLIP_VIT_L14_TEXT, dtype=jnp.bfloat16)
+    tokens = jnp.zeros((2, 77), jnp.int32)  # uncond + cond prompts
+    clip_shapes = jax.eval_shape(lambda k: clip.init(k, tokens),
+                                 jax.random.PRNGKey(0))
+    clip_params = _params_like(clip_shapes)
+
+    @jax.jit
+    def encode(params, tokens):
+        return clip.apply(params, tokens)
+
+    vae = AutoencoderKL(SD14_VAE, dtype=jnp.bfloat16)
+    vae_shapes = jax.eval_shape(
+        lambda k: vae.init(k, jnp.zeros((1, IMAGE, IMAGE, 3)), k),
+        jax.random.PRNGKey(0))
+    vae_params = _params_like(vae_shapes)
+
+    @jax.jit
+    def decode(params, latents):
+        img = vae.apply(params, latents / 0.18215,
+                        method=AutoencoderKL.decode)
+        img = jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+        # uint8 on-device: 4x less host-fetch traffic (the PIL product path).
+        return jnp.round(img * 255.0).astype(jnp.uint8)
+
+    def one_image():
+        t0 = time.perf_counter()
+        ctx = np.asarray(encode(clip_params, tokens))
+        t1 = time.perf_counter()
+        params, latents, state, _, gs = sample_args
+        lat = sample(params, latents, state,
+                     jnp.asarray(ctx, jnp.float32), gs)
+        lat.block_until_ready()
+        t2 = time.perf_counter()
+        img = np.asarray(decode(vae_params, lat))
+        t3 = time.perf_counter()
+        assert img.shape == (1, IMAGE, IMAGE, 3)
+        return t3 - t0, (t1 - t0, t2 - t1, t3 - t2)
+
+    one_image()  # compile everything
+    return one_image
+
+
 def main() -> None:
+    import numpy as np
+
     from flexdiffuse_tpu.ops import attention
 
-    attention.set_backend('flash')
-    sample, args, length = _build()
-    flash_sps, flash_t = _time(sample, args, length)
+    with attention.backend('flash'):
+        sample, args, length = _build()
+        flash_sps, flash_t = _time(sample, args, length)
 
-    attention.set_backend('xla')
-    sample_xla, args_xla, _ = _build()
-    xla_sps, _ = _time(sample_xla, args_xla, length)
-    attention.set_backend('auto')
+        one_image = _build_e2e(sample, args)
+        runs = [one_image() for _ in range(7)]
+        p50 = float(np.median([r[0] for r in runs]))
+        phase = np.median(np.array([r[1] for r in runs]), axis=0)
+
+    with attention.backend('xla'):
+        sample_xla, args_xla, _ = _build()
+        xla_sps, _ = _time(sample_xla, args_xla, length)
 
     print(json.dumps({
         'metric': ('sd1.4 512x512 CFG denoise-loop steps/sec/chip '
-                   f'(bf16, PLMS, {STEPS}-step scan; '
-                   f'{60.0 / flash_t:.2f} images/min)'),
+                   f'(bf16, PLMS, {STEPS}-step scan)'),
         'value': round(flash_sps, 3),
         'unit': 'steps/sec',
         'vs_baseline': round(flash_sps / xla_sps, 3),
+        'e2e_p50_latency_s': round(p50, 4),
+        'images_per_min_e2e': round(60.0 / p50, 2),
+        'phase_ms': {
+            'clip_encode': round(float(phase[0]) * 1e3, 2),
+            'denoise_scan': round(float(phase[1]) * 1e3, 2),
+            'vae_decode_fetch': round(float(phase[2]) * 1e3, 2),
+        },
     }))
 
 

@@ -119,9 +119,11 @@ def attention(q: Array, k: Array, v: Array,
     # 832² → seq 10816) fall back to the XLA path instead of failing.
     divisible = (q.shape[-2] % min(512, q.shape[-2]) == 0
                  and k.shape[-2] % min(512, k.shape[-2]) == 0)
-    # Head dims beyond one lane tile (128) blow the kernel's VMEM working
-    # set (e.g. the VAE's single 512-dim head at 4096 tokens) — XLA handles
-    # those shapes well; the flash win is for many small heads.
+    # Head dims beyond one lane tile (128) stay on XLA — measured, not
+    # assumed: at the VAE's 4096-token single 512-dim head the KV-streaming
+    # flash kernel compiles and is exact but *slower* (6.9 vs 5.4 ms/call,
+    # tools/bench_vae.py) because a lane-dense wide head already runs the
+    # MXU at full tilt and streaming refetches K/V per q block.
     narrow = q.shape[-1] <= 128
     eligible = big and divisible and narrow
     if backend == 'auto':

@@ -123,6 +123,11 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float,
     """
     b, h, sq, d = q.shape
     skv = k.shape[2]
+    if d > 128:
+        # Wide heads (the VAE's single 512-dim head): the per-block working
+        # set scales with d — shrink blocks to stay inside scoped VMEM.
+        block_q = min(block_q, 256)
+        block_k = min(block_k, 512)
     block_q = min(block_q, sq)
     block_k = min(block_k, skv)
     if sq % block_q or skv % block_k:

@@ -174,6 +174,15 @@ class FlexPipeline:
 
         self._decode = _decode
 
+        @jax.jit
+        def _decode_u8(vae_params, latents):
+            # Quantize on device for the PIL path: 4× less device→host
+            # traffic; same round-half-up as utils.image.to_pil.
+            img = _decode(vae_params, latents)
+            return (img * 255.0 + 0.5).astype(jnp.uint8)
+
+        self._decode_u8 = _decode_u8
+
     # ------------------------------------------------------------------
     # API-parity shims: attention slicing is obsolete under flash attention
     # (reference pipeline/flex.py:85-110).
@@ -199,8 +208,10 @@ class FlexPipeline:
             # Row-sharded decode: GSPMD propagates the input sharding through
             # the (purely convolutional + one mid-attention) decoder.
             latents = jax.device_put(latents, self._sp_sharding)
-        img = np.asarray(self._decode(self.vae_params, latents))
-        return to_pil(img) if pil else img
+        if pil:
+            return to_pil(np.asarray(self._decode_u8(self.vae_params,
+                                                     latents)))
+        return np.asarray(self._decode(self.vae_params, latents))
 
     def __call__(self,
                  guide: Guidance,

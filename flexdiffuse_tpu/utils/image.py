@@ -66,8 +66,11 @@ def clip_preprocess(image: Image.Image) -> np.ndarray:
 
 
 def to_pil(images: np.ndarray) -> List[Image.Image]:
-    """``[B, H, W, 3]`` floats in [0, 1] → PIL images."""
-    images = np.clip(np.asarray(images), 0.0, 1.0)
+    """``[B, H, W, 3]`` floats in [0, 1] (or device-quantized uint8) → PIL."""
+    images = np.asarray(images)
+    if images.dtype == np.uint8:
+        return [Image.fromarray(img) for img in images]
+    images = np.clip(images, 0.0, 1.0)
     return [
         Image.fromarray((img * 255.0 + 0.5).astype(np.uint8))
         for img in images
