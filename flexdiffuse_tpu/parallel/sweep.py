@@ -29,22 +29,50 @@ def guidance_param_sweep(base_emb: Array, alt_emb: Array,
 
     Returns ``[N, T, D]`` conditioning rows for :func:`sweep` — pairing each
     parameter setting with its own seed/latent row, so a whole guidance-
-    parameter exploration runs as ONE compiled data-parallel executable
-    (BASELINE.md north star: re-blending guidance params never leaves HBM;
-    the tween itself re-runs the same jitted program per setting since
-    params are traced scalars).
+    parameter exploration runs as ONE compiled data-parallel executable.
+
+    The tween itself is ``vmap``-batched on device: settings are grouped by
+    their static axes (mode/reuse/header-cap, which change the compiled
+    program) and each group runs as one vectorized call — N settings cost
+    one kernel launch per distinct static config, not N.
 
     Args:
         base_emb: ``[T, D]`` or ``[1, T, D]`` prompt embeddings.
         alt_emb: ``[A, D]`` or ``[1, A, D]`` guide embeddings.
         params_list: iterable of :class:`GuidanceParams`.
     """
-    from flexdiffuse_tpu.guidance.tween import Tweener
-    rows = []
-    for p in params_list:
-        out = Tweener(p).tween(base_emb, alt_emb)
-        rows.append(out[0] if out.ndim == 3 else out)
-    return jnp.stack(rows)
+    from flexdiffuse_tpu.guidance.tween import _tween_jit
+    params_list = list(params_list)
+    base = base_emb[0] if base_emb.ndim == 3 else base_emb
+    alt = alt_emb[0] if alt_emb.ndim == 3 else alt_emb
+
+    groups: dict = {}
+    for i, p in enumerate(params_list):
+        groups.setdefault((p.mode, p.reuse, p.header_max < 1.0),
+                          []).append(i)
+
+    out_rows = [None] * len(params_list)
+    batched = jax.vmap(_tween_jit,
+                       in_axes=(None, None) + (0,) * 7 + (None, None, None))
+    for (mode, reuse, capped), idxs in groups.items():
+        cols = [[getattr_p(params_list[i], name) for i in idxs]
+                for name in ('threshold_floor', 'threshold_mult',
+                             'linear_start', 'linear_end', 'clustered',
+                             'max_guidance', 'header_max')]
+        rows = batched(base, alt, *[jnp.asarray(c, jnp.float32)
+                                    for c in cols], mode, reuse, capped)
+        for j, i in enumerate(idxs):
+            out_rows[i] = rows[j]
+    return jnp.stack(out_rows)
+
+
+def getattr_p(p, name: str):
+    """GuidanceParams field access with the linear tuple flattened."""
+    if name == 'linear_start':
+        return p.linear[0]
+    if name == 'linear_end':
+        return p.linear[1]
+    return getattr(p, name)
 
 
 def sweep(pipe: FlexPipeline,
@@ -58,7 +86,8 @@ def sweep(pipe: FlexPipeline,
           model_parallel: int = 1,
           eta: float = 0.0,
           init_image=None,
-          strength: float = 0.6) -> Array:
+          strength: float = 0.6,
+          mask=None) -> Array:
     """Generate one image per seed, sharded over the mesh's data axis.
 
     Args:
@@ -72,6 +101,9 @@ def sweep(pipe: FlexPipeline,
         init_image: optional preprocessed ``[1, H, W, 3]`` array (or PIL
             image) — img2img sweep: encoded once, noised per seed at
             ``strength`` (the deer_img2img config of BASELINE.md).
+        mask: optional inpainting mask (1 = regenerate, 0 = keep; pixel- or
+            latent-space; requires ``init_image``) — an N-seed inpaint runs
+            as the same single executable.
 
     Returns:
         ``[N, H, W, 3]`` decoded images in [0, 1] (host numpy).
@@ -91,6 +123,10 @@ def sweep(pipe: FlexPipeline,
     h, w = init_size[0] // f, init_size[1] // f
     c = pipe.latent_channels
 
+    if mask is not None and init_image is None:
+        raise ValueError('inpainting sweep (mask=...) requires init_image')
+
+    init_latents = None
     if init_image is not None:
         from PIL import Image as _Image
 
@@ -112,6 +148,7 @@ def sweep(pipe: FlexPipeline,
             lambda k: jax.random.normal(k, z.shape[1:], jnp.float32))(
                 seeds_key)
         latents = schedulers.add_noise(schedule, base, noise, init_timestep)
+        init_latents = base
     else:
         t_start = 0
         # Per-seed initial latents: vmapped key → normal draw.
@@ -124,12 +161,25 @@ def sweep(pipe: FlexPipeline,
     guidance = SimpleGuidance(embeddings=emb, uncond=uncond,
                               guidance_scale=jnp.float32(guidance_scale),
                               cfg=guidance_scale > 1.0)
-    state0 = schedulers.init_state(schedule, latents.shape, latents.dtype)
+    return _run_sharded(pipe, mesh, guidance, latents, t_start, eta,
+                        seeds_key, mask=mask, init_latents=init_latents,
+                        schedule=schedule)
 
+
+def _run_sharded(pipe, mesh, guidance, latents, t_start, eta, seeds_key,
+                 mask=None, init_latents=None, schedule=None):
+    """Shard the batch axis, run the compiled sampling loop, decode."""
+    from flexdiffuse_tpu.pipeline.flex import prepare_latent_mask
+
+    state0 = schedulers.init_state(schedule, latents.shape, latents.dtype)
     sh = batch_sharding(mesh)
     latents = jax.device_put(latents, sh)
-    guidance = guidance.replace(
-        embeddings=jax.device_put(emb, sh))
+    if isinstance(guidance, SimpleGuidance):
+        guidance = guidance.replace(
+            embeddings=jax.device_put(guidance.embeddings, sh))
+    latent_mask = None
+    if mask is not None:
+        latent_mask = prepare_latent_mask(mask, latents.shape[1:3])
     # Local sharded copy — don't mutate the caller's pipeline placement.
     unet_params = shard_params(pipe.unet_params, mesh)
     # Independent in-loop key (η>0 variance noise): folding avoids reusing
@@ -139,6 +189,46 @@ def sweep(pipe: FlexPipeline,
     with mesh:
         final, _ = pipe._sample(unet_params, schedule, state0, guidance,
                                 latents, jnp.int32(t_start),
-                                jnp.float32(eta), loop_key, debug=False)
+                                jnp.float32(eta), loop_key,
+                                init_latents=init_latents, mask=latent_mask,
+                                debug=False, inpaint=mask is not None)
         images = pipe._decode(pipe.vae_params, final)
     return np.asarray(images)
+
+
+def compose_sweep(pipe: FlexPipeline,
+                  guidance,
+                  seeds_key: Array,
+                  steps: int = 30,
+                  init_size: Tuple[int, int] = (512, 512),
+                  mesh=None,
+                  eta: float = 0.0) -> Array:
+    """Multi-seed regional composition as one data-parallel executable.
+
+    Each seed's latents denoise against the schema's full
+    ``(uncond+bg+E)`` context stack (CompositeGuidance.noise_pred is
+    batch-general: one UNet call covers ``N·(2+E)`` rows, sharded over the
+    data axis). The reference's equivalent is a serial Python batch loop
+    per composition (utils.py:90,168-207).
+
+    Args:
+        pipe: a FlexPipeline.
+        guidance: a :class:`CompositeGuidance` (from
+            ``composition.embeds.encode_schema``-built stacks).
+        seeds_key: ``[N, key]`` PRNG keys from :func:`seed_sweep_keys`.
+
+    Returns:
+        ``[N, H, W, 3]`` decoded images in [0, 1] (host numpy).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    schedule = pipe.schedule(steps)
+    f = pipe.vae_scale
+    h, w = init_size[0] // f, init_size[1] // f
+    latents = jax.vmap(
+        lambda k: jax.random.normal(k, (h, w, pipe.latent_channels),
+                                    jnp.float32))(seeds_key)
+    if schedule.kind in ('lms', 'euler'):
+        latents = latents * schedule.sigmas[0]
+    return _run_sharded(pipe, mesh, guidance, latents, 0, eta, seeds_key,
+                        schedule=schedule)

@@ -58,6 +58,35 @@ class FlexPipelineOutput:
         raise KeyError(key)
 
 
+def prepare_latent_mask(mask, latent_hw) -> Array:
+    """Pixel/latent-space inpainting mask → ``[B, h, w, 1]`` latent grid.
+
+    1 = regenerate, 0 = keep. Accepts PIL, (H, W), (H, W, C), (B, H, W) or
+    (B, H, W, C); RGB collapses to luminance-mean; pixel-space maps resize
+    linearly to the latent grid.
+    """
+    if isinstance(mask, Image.Image):
+        mask = np.asarray(mask.convert('L'), np.float32) / 255.0
+    m = jnp.asarray(mask, jnp.float32)
+    if m.ndim == 2:
+        m = m[None, :, :, None]
+    elif m.ndim == 3:
+        # Disambiguate (H, W, C) from (B, H, W): a trailing dim of
+        # 1/3/4 is a channel axis, anything else a batch-leading
+        # grayscale mask.
+        if m.shape[-1] in (1, 3, 4):
+            m = m[None]                # (H, W, C) → (1, H, W, C)
+        else:
+            m = m[:, :, :, None]       # (B, H, W) → (B, H, W, 1)
+    if m.shape[-1] > 1:                # RGB(A) masks → single channel
+        m = jnp.mean(m[..., :3], axis=-1, keepdims=True)
+    h, w = latent_hw
+    if m.shape[1:3] != (h, w):  # pixel-space → latent grid
+        m = jax.image.resize(m, (m.shape[0], h, w, m.shape[-1]),
+                             method='linear')
+    return jnp.clip(m, 0.0, 1.0)
+
+
 class FlexPipeline:
     """Holds models + params and compiles the full generation program.
 
@@ -272,26 +301,7 @@ class FlexPipeline:
 
         latent_mask = None
         if mask is not None:
-            if isinstance(mask, Image.Image):
-                mask = np.asarray(mask.convert('L'), np.float32) / 255.0
-            m = jnp.asarray(mask, jnp.float32)
-            if m.ndim == 2:
-                m = m[None, :, :, None]
-            elif m.ndim == 3:
-                # Disambiguate (H, W, C) from (B, H, W): a trailing dim of
-                # 1/3/4 is a channel axis, anything else a batch-leading
-                # grayscale mask.
-                if m.shape[-1] in (1, 3, 4):
-                    m = m[None]                # (H, W, C) → (1, H, W, C)
-                else:
-                    m = m[:, :, :, None]       # (B, H, W) → (B, H, W, 1)
-            if m.shape[-1] > 1:                # RGB(A) masks → single channel
-                m = jnp.mean(m[..., :3], axis=-1, keepdims=True)
-            h, w = latents.shape[1:3]
-            if m.shape[1:3] != (h, w):  # pixel-space → latent grid
-                m = jax.image.resize(m, (m.shape[0], h, w, m.shape[-1]),
-                                     method='linear')
-            latent_mask = jnp.clip(m, 0.0, 1.0)
+            latent_mask = prepare_latent_mask(mask, latents.shape[1:3])
 
         state0 = schedulers.init_state(schedule, latents.shape,
                                        latents.dtype)

@@ -151,14 +151,15 @@ class CompositeGuidance(struct.PyTreeNode):
     def num_entities(self) -> int:
         return self.entities.shape[0]
 
-    def _added(self, n: int):
+    def _added(self, b: int, n: int):
         if self.pooled_stack is None:
             return None
         rows = [self.pooled_stack]
         if self.cfg:
             rows = [self.uncond_pooled] + rows
-        pooled = jnp.concatenate(rows)
-        tids = jnp.broadcast_to(self.time_ids, (n, self.time_ids.shape[-1]))
+        pooled = jnp.tile(jnp.concatenate(rows), (b, 1))
+        tids = jnp.broadcast_to(self.time_ids,
+                                (b * n, self.time_ids.shape[-1]))
         return {'text_embeds': pooled, 'time_ids': tids}
 
     def noise_pred(self, noise_fn: NoiseFn, latents: Array, t: Array,
@@ -177,18 +178,24 @@ class CompositeGuidance(struct.PyTreeNode):
             stack = [self.uncond] + stack
         ctx = jnp.concatenate(stack)                     # [(cfg)+1+E, T, D]
         n = ctx.shape[0]
-        lat = jnp.broadcast_to(latents, (n,) + latents.shape[1:])
-        eps = noise_fn(lat, jnp.broadcast_to(t, (n,)), ctx, self._added(n))
+        # Batch-general (multi-seed composition sweeps, parallel/sweep.py):
+        # each latent row denoises against the whole context stack — row-
+        # major [b0·ctx0..b0·ctxN, b1·ctx0, ...] so one UNet call covers all.
+        b = latents.shape[0]
+        lat = jnp.repeat(latents, n, axis=0)             # [B·n, h, w, 4]
+        eps = noise_fn(lat, jnp.broadcast_to(t, (b * n,)),
+                       jnp.tile(ctx, (b, 1, 1)), self._added(b, n))
+        eps = eps.reshape((b, n) + eps.shape[1:])        # [B, n, h, w, 4]
 
         off = 1 if self.cfg else 0
-        bg = eps[off:off + 1]                            # [1, h, w, 4]
+        bg = eps[:, off]                                 # [B, h, w, 4]
         # Sequential entity composition (declaration order matters for
         # overlapping rects — reference composition/guide.py:76-87).
         for i in range(e):
-            ent = eps[off + 1 + i:off + 2 + i]
+            ent = eps[:, off + 1 + i]
             m = self.masks[i][None]                      # [1, h, w, 1]
             bg = bg + m * self.blends[i] * (ent - bg)
         if self.cfg:
-            uncond = eps[0:1]
+            uncond = eps[:, 0]
             bg = uncond + self.guidance_scale * (bg - uncond)
         return bg
