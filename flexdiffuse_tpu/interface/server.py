@@ -92,7 +92,10 @@ def handle_generate(payload: dict) -> dict:
         debug=debug,
         negative_prompt=p.get('negative_prompt', ''),
         mask=_b64_to_pil(p.get('mask')))
-    return {'images': [_pil_to_b64(i) for i in imgs]}
+    # The reference sandbox shows the batch gallery incl. its grid
+    # (interface/sandbox.py:181-185); surface the composite grid too.
+    return {'images': [_pil_to_b64(i) for i in imgs],
+            'grid': _pil_to_b64(grid) if grid is not None else None}
 
 
 def handle_compose(payload: dict) -> dict:
@@ -119,7 +122,8 @@ def handle_compose(payload: dict) -> dict:
         seed=int(p.get('seed', 1337)) or None,
         debug=debug,
         style_strength=float(p.get('style_strength', 0.0)))
-    return {'images': [_pil_to_b64(i) for i in imgs]}
+    return {'images': [_pil_to_b64(i) for i in imgs],
+            'grid': _pil_to_b64(grid) if grid is not None else None}
 
 
 PAGE = r"""<!doctype html>
@@ -211,7 +215,9 @@ async function post(url,body,gallery){const g=document.getElementById(gallery);
  g.innerHTML='<p>generating…</p>';
  const r=await fetch(url,{method:'POST',headers:{'Content-Type':'application/json'},body:JSON.stringify(body)});
  const d=await r.json();
- g.innerHTML=d.error?('<pre>'+d.error+'</pre>'):d.images.map(i=>`<img src="${i}">`).join('')}
+ if(d.error){g.innerHTML='<pre>'+d.error+'</pre>';return}
+ g.innerHTML=d.images.map(i=>`<img src="${i}">`).join('')+
+  (d.grid&&d.images.length>1?`<div class="wide"><p>grid</p><img class="grid" src="${d.grid}"></div>`:'')}
 async function generate(){const body={};
  for(const k of ['prompt','negative_prompt','guide_text','mapping_concepts','strength','steps','threshold_mult',
   'threshold_floor','samples','linear_start','linear_end','guidance_scale','clustered','seed',

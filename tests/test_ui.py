@@ -74,6 +74,11 @@ def test_generate_endpoint(ui):
     raw = base64.b64decode(out['images'][0].split(',')[-1])
     img = Image.open(io.BytesIO(raw))
     assert img.size == (64, 64)
+    # The batch grid rides along (reference sandbox gallery shows it,
+    # interface/sandbox.py:181-185).
+    assert out['grid'] is not None
+    graw = base64.b64decode(out['grid'].split(',')[-1])
+    assert Image.open(io.BytesIO(graw)).size == (64, 64)  # 1 sample -> 1x1
 
 
 def test_compose_endpoint(ui):

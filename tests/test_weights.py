@@ -232,3 +232,54 @@ def test_unet_converter_roundtrip_shapes():
         ks = jax.tree_util.keystr(k)
         np.testing.assert_allclose(v, flat_ref[ks], atol=1e-6,
                                    err_msg=f'mismatch at {ks}')
+
+
+@pytest.mark.parametrize('tower', ['text', 'vision'])
+def test_full_vit_l14_geometry_parity(tower):
+    """Round-2 VERDICT #5: the tiny-geometry parity above leaves layer-count/
+    width-dependent bugs uncovered; run the converter + towers once at the
+    REAL ViT-L/14 geometry (random weights, CPU — slow but one-shot).
+
+    Builds only the requested tower at full size to bound memory/time.
+    """
+    from flexdiffuse_tpu.models.configs import (CLIP_VIT_L14_TEXT,
+                                                CLIP_VIT_L14_VISION)
+    torch.manual_seed(0)
+    rng = np.random.default_rng(0)
+    if tower == 'text':
+        tcfg = transformers.CLIPTextConfig(
+            vocab_size=49408, hidden_size=768, intermediate_size=3072,
+            num_hidden_layers=12, num_attention_heads=12,
+            max_position_embeddings=77, projection_dim=768)
+        model = transformers.CLIPTextModel(tcfg).eval()
+        sd = {f'text_model.{k}' if not k.startswith('text_model') else k: v
+              .detach().numpy() for k, v in model.state_dict().items()}
+        cfg = CLIP_VIT_L14_TEXT
+        params = {'params': convert.convert_clip_text(sd, cfg)}
+        flax_model = CLIPTextModel(cfg)
+        ids = rng.integers(0, 49408, size=(1, 77))
+        with torch.no_grad():
+            ref = model.text_model(torch.tensor(ids))[0].numpy()
+        got = np.asarray(flax_model.apply(params, jnp.asarray(ids)))
+    else:
+        vcfg = transformers.CLIPVisionConfig(
+            hidden_size=1024, intermediate_size=4096, num_hidden_layers=24,
+            num_attention_heads=16, image_size=224, patch_size=14,
+            projection_dim=768)
+        model = transformers.CLIPVisionModelWithProjection(vcfg).eval()
+        sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+        cfg = CLIP_VIT_L14_VISION
+        params = {'params': convert.convert_clip_vision(sd, cfg)}
+        flax_model = CLIPVisionModel(cfg)
+        img = rng.normal(size=(1, 3, 224, 224)).astype(np.float32) * 0.5
+        with torch.no_grad():
+            hs = model.vision_model.embeddings(torch.tensor(img))
+            hs = model.vision_model.pre_layrnorm(hs)
+            enc = model.vision_model.encoder(inputs_embeds=hs)
+            pooled = model.vision_model.post_layernorm(enc[0])
+            ref = model.visual_projection(pooled).numpy()
+        got = np.asarray(
+            flax_model.apply(params, jnp.asarray(img.transpose(0, 2, 3, 1))))
+        assert got.shape == (1, 257, 768)   # reference encode/clip.py:96-100
+    # Full depth accumulates more fp32 reorder drift than the tiny tower.
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
