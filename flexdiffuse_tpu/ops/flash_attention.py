@@ -27,7 +27,8 @@ Array = jax.Array
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int,
+                  unroll: int = 2):
     # Matmul inputs stay in the model dtype (bf16 on TPU → native MXU path;
     # an f32 upcast here costs a multi-pass MXU decomposition); accumulation
     # and softmax statistics are fp32.
@@ -57,13 +58,25 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
     carry = (acc, m0, l0)
-    # Unrolled (static trip count): QK(j+1) has no data dependency on block
-    # j's softmax/PV, so exposing the whole DAG lets Mosaic overlap the MXU
-    # matmuls with the VPU softmax of the previous block — a fori_loop body
-    # is scheduled as one serialized region per iteration instead
-    # (tools/flash_opt.py measured the difference on-chip).
-    for j in range(num_kv):
-        carry = body(j, carry)
+    # (Partially) unrolled KV loop, static trip count: QK(j+1) has no data
+    # dependency on block j's softmax/PV, so exposing several iterations'
+    # DAG lets Mosaic overlap the MXU matmuls with the VPU softmax of
+    # neighboring blocks — a fori_loop body is scheduled as one serialized
+    # region per iteration (+8.5% end-to-end, tools/flash_opt.py). Unrolled
+    # live ranges cost VMEM (full unroll at CFG batch ≥ 4 hit 19.7 MB > 16),
+    # so the dispatcher picks `unroll` by grid size.
+    unroll = min(unroll, num_kv)
+    while num_kv % unroll:
+        unroll -= 1
+    if num_kv == unroll:
+        for j in range(num_kv):
+            carry = body(j, carry)
+    else:
+        def outer(jj, carry):
+            for u in range(unroll):
+                carry = body(jj * unroll + u, carry)
+            return carry
+        carry = jax.lax.fori_loop(0, num_kv // unroll, outer, carry)
     acc, m, l = carry
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
@@ -112,7 +125,7 @@ _FULL_KV_VMEM_BYTES = 8 * 1024 * 1024
                    static_argnames=('scale', 'block_q', 'block_k',
                                     'interpret'))
 def flash_attention(q: Array, k: Array, v: Array, scale: float,
-                    block_q: int = 1024, block_k: int = 1024,
+                    block_q: int = 512, block_k: int = 1024,
                     interpret: bool | None = None) -> Array:
     """``[B, H, Sq, D] × [B, H, Skv, D] → [B, H, Sq, D]`` flash attention.
 
@@ -140,10 +153,18 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float,
     kf = k.reshape(b * h, skv, d)
     vf = v.reshape(b * h, skv, d)
 
+    # Unroll budget: the single-image CFG grid (b·h ≤ 16) takes the full
+    # unroll (fastest, measured); bigger grids make Mosaic's scheduler keep
+    # more unrolled score buffers live and blow scoped VMEM, so they get a
+    # window of 2 (still most of the overlap win — serving keeps its
+    # throughput from batching instead).
+    unroll = skv // block_k if b * h <= 16 else 2
+
     kv_bytes = 4 * skv * max(d, 128) * jnp.dtype(k.dtype).itemsize
     if kv_bytes <= _FULL_KV_VMEM_BYTES:
         out = pl.pallas_call(
-            functools.partial(_flash_kernel, scale=scale, block_k=block_k),
+            functools.partial(_flash_kernel, scale=scale, block_k=block_k,
+                              unroll=unroll),
             grid=(b * h, sq // block_q),
             in_specs=[
                 pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
