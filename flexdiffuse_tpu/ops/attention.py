@@ -115,10 +115,10 @@ def attention(q: Array, k: Array, v: Array,
     else:
         _validate(backend)
     big = (q.shape[-2] >= FLASH_MIN_SEQ and k.shape[-2] >= FLASH_MIN_SEQ)
-    # The kernel needs block-divisible sequences; odd resolutions (e.g.
-    # 832² → seq 10816) fall back to the XLA path instead of failing.
-    divisible = (q.shape[-2] % min(512, q.shape[-2]) == 0
-                 and k.shape[-2] % min(512, k.shape[-2]) == 0)
+    # The kernel halves its blocks down to 128 to fit the sequence; odd
+    # resolutions whose token counts don't divide 128 (e.g. 832² → seq
+    # 10816 = 128·84.5) fall back to the XLA path instead of failing.
+    divisible = (q.shape[-2] % 128 == 0 and k.shape[-2] % 128 == 0)
     # Head dims beyond one lane tile (128) stay on XLA — measured, not
     # assumed: at the VAE's 4096-token single 512-dim head the KV-streaming
     # flash kernel compiles and is exact but *slower* (6.9 vs 5.4 ms/call,

@@ -143,6 +143,13 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float,
         block_k = min(block_k, 512)
     block_q = min(block_q, sq)
     block_k = min(block_k, skv)
+    # Non-square resolutions give sequences like 1536/2560/7680 (768×512
+    # etc.) that divide 512 but not the 1024 default — halve blocks until
+    # they fit rather than rejecting shapes the dispatcher deems eligible.
+    while block_q > 128 and sq % block_q:
+        block_q //= 2
+    while block_k > 128 and skv % block_k:
+        block_k //= 2
     if sq % block_q or skv % block_k:
         raise ValueError(f'sequence ({sq}, {skv}) not divisible by blocks '
                          f'({block_q}, {block_k})')
@@ -153,14 +160,15 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float,
     kf = k.reshape(b * h, skv, d)
     vf = v.reshape(b * h, skv, d)
 
-    # Unroll budget: the single-image CFG grid (b·h ≤ 16) takes the full
-    # unroll (fastest, measured); bigger grids make Mosaic's scheduler keep
-    # more unrolled score buffers live and blow scoped VMEM, so they get a
+    # Unroll budget: the single-image CFG grid (b·h ≤ 16) at the standard
+    # 4096-token level takes the full unroll (fastest, measured); bigger
+    # grids or longer resident K/V make Mosaic's scheduler keep more
+    # unrolled score buffers live and blow scoped VMEM, so they get a
     # window of 2 (still most of the overlap win — serving keeps its
     # throughput from batching instead).
-    unroll = skv // block_k if b * h <= 16 else 2
-
     kv_bytes = 4 * skv * max(d, 128) * jnp.dtype(k.dtype).itemsize
+    unroll = (skv // block_k
+              if b * h <= 16 and kv_bytes <= 4 * 1024 * 1024 else 2)
     if kv_bytes <= _FULL_KV_VMEM_BYTES:
         out = pl.pallas_call(
             functools.partial(_flash_kernel, scale=scale, block_k=block_k,

@@ -7,11 +7,13 @@ docs/PERFORMANCE.md). This kernel reads the activation once into VMEM,
 computes fp32 group statistics on-chip, applies the affine + optional SiLU,
 and writes once: the minimum possible HBM traffic (one read + one write).
 
-Replaces ``nn.GroupNorm`` inside the UNet (reference equivalent: the
-torch GroupNorms inside diffusers' UNet blocks, driven via
-reference/pipeline/guide.py:56). The VAE keeps the XLA path: at 512² decode
-the per-image activation (512·512·512) far exceeds VMEM, and the VAE runs
-once per image, not once per step.
+**Status: measured and NOT integrated.** In isolation the kernel is ~5×
+faster than XLA's norm fusions, but swapping it into the UNet made the
+whole step *slower* (49.3 → 37.4 steps/s): the Pallas boundary breaks
+XLA's producer/consumer fusion around every norm and the neighboring conv
+fusions balloon (docs/PERFORMANCE.md, round-2 rejection log). The UNet and
+VAE therefore keep ``nn.GroupNorm``; this module stays as a unit-tested
+library op and as the measured record of the experiment.
 
 Layout: NHWC with channels last — the group axis is a *lane* axis, so group
 sums reduce [HW, C] over sublanes (cheap VPU column reduction) and then fold

@@ -128,6 +128,10 @@ def sweep(pipe: FlexPipeline,
 
     init_latents = None
     if init_image is not None:
+        if getattr(schedule, 'prk', False):
+            raise NotImplementedError(
+                'img2img/inpaint is not defined for PNDM PRK warm-up '
+                '(skip_prk_steps=False); use the PLMS mode')
         from PIL import Image as _Image
 
         from flexdiffuse_tpu.utils.image import preprocess

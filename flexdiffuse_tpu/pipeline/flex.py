@@ -278,6 +278,16 @@ class FlexPipeline:
         f = self.vae_scale
 
         if init_image is not None:
+            if getattr(schedule, 'prk', False):
+                # The PRK feed is steps+9 positions whose first 12 span only
+                # the top 3 timesteps; a strength-derived t_start indexes a
+                # steps-long PLMS list and would enter the table mid-warm-up
+                # with empty RK state and a mismatched noise level. diffusers
+                # 0.3.0 img2img flows ship PLMS (skip_prk_steps=True) for
+                # exactly this reason.
+                raise NotImplementedError(
+                    'img2img/inpaint is not defined for PNDM PRK warm-up '
+                    '(skip_prk_steps=False); use the PLMS mode')
             if isinstance(init_image, Image.Image):
                 init_image = preprocess(init_image)
             pixels = jnp.asarray(init_image)

@@ -77,3 +77,56 @@ def test_set_backend_is_thread_local():
         assert A._BACKEND.get() == 'xla'
     finally:
         A.set_backend('auto')
+
+
+def test_flash_block_shrink_non_1024_divisible():
+    """Sequences from non-square resolutions (768x512 level-1 = 1536 tokens)
+    divide 512 but not the 1024 default block — the kernel must halve its
+    blocks instead of raising (round-2 review finding)."""
+    from flexdiffuse_tpu.ops.flash_attention import flash_attention
+    from flexdiffuse_tpu.ops.attention import xla_attention
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.normal(size=(1, 2, 1536, 8)).astype(
+        np.float32)) for _ in range(3))
+    got = flash_attention(q, k, v, 8**-0.5, interpret=True)
+    ref = xla_attention(q, k, v, 8**-0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_dispatcher_excludes_non_128_divisible():
+    """832² → 10816 tokens (not /128) must take the XLA path, not crash."""
+    from flexdiffuse_tpu.ops import attention as A
+    calls = []
+    orig = A.xla_attention
+    try:
+        A.xla_attention = lambda *a, **kw: calls.append(1) or orig(*a, **kw)
+        q = jnp.zeros((1, 1, 10816, 8))
+        with A.backend('flash'):
+            A.attention(q, q, q)
+        assert calls
+    finally:
+        A.xla_attention = orig
+
+
+def test_prk_img2img_rejected():
+    from flexdiffuse_tpu import schedulers
+    from flexdiffuse_tpu.models import (AutoencoderKL, TINY_UNET, TINY_VAE,
+                                        UNet2DCondition)
+    from flexdiffuse_tpu.pipeline import FlexPipeline
+    from flexdiffuse_tpu.pipeline.guides import SimpleGuidance
+    import pytest
+    k = jax.random.PRNGKey(0)
+    unet = UNet2DCondition(TINY_UNET)
+    up = unet.init(k, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+                   jnp.zeros((1, 77, 32)))
+    vae = AutoencoderKL(TINY_VAE)
+    vp = vae.init(k, jnp.zeros((1, 16, 16, 3)), k)
+    pipe = FlexPipeline(
+        unet, up, vae, vp, scheduler='pndm',
+        scheduler_config=schedulers.SchedulerConfig(skip_prk_steps=False))
+    g = SimpleGuidance(embeddings=jnp.zeros((1, 77, 32)),
+                       uncond=jnp.zeros((1, 77, 32)),
+                       guidance_scale=jnp.float32(7.5))
+    init = np.zeros((1, 32, 32, 3), np.float32)
+    with pytest.raises(NotImplementedError, match='PRK'):
+        pipe(g, steps=4, init_image=init, strength=0.5)
