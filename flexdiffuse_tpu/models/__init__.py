@@ -1,11 +1,13 @@
 """Model zoo: CLIP text/vision, SD UNet, VAE — all Flax linen, NHWC, bf16-ready."""
 from flexdiffuse_tpu.models.clip import CLIPTextModel, CLIPVisionModel
 from flexdiffuse_tpu.models.configs import (CLIP_VIT_L14_TEXT,
-                                            CLIP_VIT_L14_VISION, SD14_UNET,
-                                            SD14_VAE, TINY_TEXT, TINY_UNET,
-                                            TINY_VAE, TINY_VISION,
-                                            CLIPTextConfig, CLIPVisionConfig,
-                                            UNetConfig, VAEConfig)
+                                            CLIP_VIT_L14_VISION,
+                                            OPENCLIP_H_TEXT, SD14_UNET,
+                                            SD14_VAE, SD21_UNET, SD21_VAE,
+                                            TINY_TEXT, TINY_UNET, TINY_VAE,
+                                            TINY_VISION, CLIPTextConfig,
+                                            CLIPVisionConfig, UNetConfig,
+                                            VAEConfig)
 from flexdiffuse_tpu.models.unet import UNet2DCondition
 from flexdiffuse_tpu.models.vae import AutoencoderKL, sample_latents
 
@@ -13,5 +15,6 @@ __all__ = [
     'CLIPTextModel', 'CLIPVisionModel', 'UNet2DCondition', 'AutoencoderKL',
     'sample_latents', 'CLIPTextConfig', 'CLIPVisionConfig', 'UNetConfig',
     'VAEConfig', 'TINY_TEXT', 'TINY_VISION', 'TINY_UNET', 'TINY_VAE',
-    'SD14_UNET', 'SD14_VAE', 'CLIP_VIT_L14_TEXT', 'CLIP_VIT_L14_VISION'
+    'SD14_UNET', 'SD14_VAE', 'CLIP_VIT_L14_TEXT', 'CLIP_VIT_L14_VISION',
+    'SD21_UNET', 'SD21_VAE', 'OPENCLIP_H_TEXT'
 ]

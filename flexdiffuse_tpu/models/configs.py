@@ -122,3 +122,18 @@ TINY_SDXL_UNET = UNetConfig(block_channels=(32, 64), layers_per_block=1,
                             transformer_depth=(0, 2), head_dim=16,
                             cross_attention_dim=48, norm_groups=8,
                             addition_embed=True, addition_pooled_dim=24)
+
+# SD v2.1 (stabilityai/stable-diffusion-2-1): SD1.x layout with 64-wide
+# heads (5/10/20/20 per level), 1024-dim OpenCLIP-H cross-attention, and —
+# for the 768-v checkpoint — v-prediction
+# (SchedulerConfig(prediction_type='v_prediction')). use_linear_projection
+# transformer proj weights convert via the 2-D→1×1-conv rule
+# (weights/convert.py).
+SD21_UNET = UNetConfig(head_dim=64, cross_attention_dim=1024)
+SD21_VAE = VAEConfig()
+# OpenCLIP ViT-H/14 text tower as shipped in the SD2.x checkpoints: 23 of
+# the 24 layers (the checkpoint drops the last layer because SD2 conditions
+# on the penultimate representation), GELU MLPs.
+OPENCLIP_H_TEXT = CLIPTextConfig(hidden_size=1024, num_layers=23,
+                                 num_heads=16, intermediate_size=4096,
+                                 activation='gelu')

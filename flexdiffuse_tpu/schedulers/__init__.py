@@ -40,7 +40,13 @@ def make(kind: str, steps: int,
         raise ValueError(
             f'use_karras_sigmas is only supported for euler/dpmpp, not '
             f'{kind!r}')
-    return _KINDS[kind].make_schedule(config, steps)
+    if config.prediction_type not in ('epsilon', 'v_prediction'):
+        raise ValueError(
+            f'unknown prediction_type {config.prediction_type!r}')
+    schedule = _KINDS[kind].make_schedule(config, steps)
+    if config.prediction_type == 'v_prediction':
+        schedule = schedule.replace(v_prediction=True)
+    return schedule
 
 
 def init_state(schedule: Schedule, latent_shape, dtype) -> tuple:
@@ -55,9 +61,33 @@ def scale_model_input(schedule: Schedule, sample: Array, i: Array) -> Array:
     return sample
 
 
+def convert_v_prediction(schedule: Schedule, v: Array, i: Array,
+                         sample: Array) -> Array:
+    """v-parameterized model output → ε at step position ``i`` (SD2.x).
+
+    VP space: ``ε = √(1−ᾱ_t)·x_t + √ᾱ_t·v``. σ-space schedulers carry
+    ``x = x₀ + σ·ε`` (the UNet still sees the VP-scaled input), where the
+    same identity reads ``ε = x·σ/(σ²+1) + v/√(σ²+1)``.
+    """
+    x = sample.astype(jnp.float32)
+    v = v.astype(jnp.float32)
+    if schedule.kind in ('lms', 'euler'):
+        sigma = schedule.sigmas[i]
+        return x * (sigma / (sigma * sigma + 1.0)) + v * jax.lax.rsqrt(
+            sigma * sigma + 1.0)
+    if schedule.kind == 'dpmpp':
+        return schedule.vp_sigma[i] * x + schedule.vp_alpha[i] * v
+    t = jnp.clip(schedule.timesteps[i].astype(jnp.int32), 0,
+                 schedule.num_train_timesteps - 1)
+    ap = schedule.alphas_cumprod[t]
+    return jnp.sqrt(1.0 - ap) * x + jnp.sqrt(ap) * v
+
+
 def step(schedule: Schedule, state: tuple, eps: Array, i: Array,
          counter: Array, sample: Array, key=None, eta=0.0):
     eta = jnp.asarray(eta, jnp.float32)
+    if schedule.v_prediction:
+        eps = convert_v_prediction(schedule, eps, i, sample)
     return _KINDS[schedule.kind].step(schedule, state, eps, i, counter,
                                       sample, key, eta)
 
@@ -140,5 +170,5 @@ def anchor_noise(schedule: Schedule, sample: Array, noise: Array, i: Array,
 __all__ = [
     'Schedule', 'SchedulerConfig', 'make', 'init_state', 'scale_model_input',
     'step', 'add_noise', 'init_timestep_info', 'make_betas',
-    'alphas_cumprod', 'anchor_noise'
+    'alphas_cumprod', 'anchor_noise', 'convert_v_prediction'
 ]

@@ -46,6 +46,9 @@ class SchedulerConfig:
     # Euler/DPM++: Karras et al. (2022) rho-7 sigma spacing — concentrates
     # steps at low noise for better few-step quality.
     use_karras_sigmas: bool = False
+    # 'epsilon' (SD1.x/SDXL) or 'v_prediction' (SD2.x 768-v: the model
+    # predicts v = √ᾱ·ε − √(1−ᾱ)·x₀; converted to ε once per step).
+    prediction_type: str = 'epsilon'
 
 
 def make_betas(config: SchedulerConfig) -> np.ndarray:
@@ -74,6 +77,8 @@ class Schedule(struct.PyTreeNode):
     clip_sample: bool = struct.field(pytree_node=False)
     # Length L of the scan (PNDM/PLMS has steps+1 entries, see pndm.py).
     length: int = struct.field(pytree_node=False)
+    # v-parameterized model (SD2.x): step() converts v → ε at entry.
+    v_prediction: bool = struct.field(pytree_node=False, default=False)
 
     timesteps: Array = None          # [L] float32, fed to the UNet
     alphas_cumprod: Array = None     # [num_train_timesteps]

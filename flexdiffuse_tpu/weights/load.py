@@ -110,9 +110,13 @@ def load_sd(model_dir: str,
             unet_config: UNetConfig = UNetConfig(),
             vae_config: VAEConfig = VAEConfig(),
             cache: bool = True):
-    """Load UNet+VAE params from a ``CompVis/stable-diffusion-v1-4`` snapshot
-    dir (expects ``unet/`` and ``vae/`` subdirs). Returns
-    ``(unet_params, vae_params)``."""
+    """Load UNet+VAE params from a diffusers snapshot dir (expects ``unet/``
+    and ``vae/`` subdirs). Returns ``(unet_params, vae_params)``.
+
+    Config-parametric: SD1.4 with the defaults, SD2.1 via
+    ``load_sd(dir, SD21_UNET, SD21_VAE)`` (use_linear_projection transformer
+    weights convert through the 2-D→1×1-conv rule), SDXL via
+    :func:`load_sdxl`."""
 
     def build():
         unet_sd = load_state_dict(os.path.join(model_dir, 'unet'))
