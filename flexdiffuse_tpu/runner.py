@@ -64,7 +64,8 @@ class Runner:
                  vision_config=None,
                  unet_config=None,
                  vae_config=None,
-                 clip_skip: int = 0) -> None:
+                 clip_skip: int = 0,
+                 scheduler_config=None) -> None:
         """Load from HF snapshot dirs under ``model_root`` (default configs
         are the reference's SD-1.4 + CLIP ViT-L/14 geometry; the ``*_config``
         overrides exist for alternative checkpoints and loading-path tests).
@@ -98,29 +99,33 @@ class Runner:
         vae = AutoencoderKL(vae_config, dtype=dtype)
         self._init_common(text_model, text_params, vision_model,
                           vision_params, unet, unet_params, vae, vae_params,
-                          tokenizer, scheduler, clip_skip)
+                          tokenizer, scheduler, clip_skip, scheduler_config)
 
     @classmethod
     def from_models(cls, text_model, text_params, vision_model,
                     vision_params, unet, unet_params, vae, vae_params,
                     tokenizer, scheduler: str = 'pndm',
-                    config: RunConfig = RunConfig()) -> 'Runner':
+                    config: RunConfig = RunConfig(),
+                    scheduler_config=None) -> 'Runner':
         self = cls.__new__(cls)
         self.config = config
         self._init_common(text_model, text_params, vision_model,
                           vision_params, unet, unet_params, vae, vae_params,
-                          tokenizer, scheduler)
+                          tokenizer, scheduler,
+                          scheduler_config=scheduler_config)
         return self
 
     def _init_common(self, text_model, text_params, vision_model,
                      vision_params, unet, unet_params, vae, vae_params,
-                     tokenizer, scheduler, clip_skip: int = 0) -> None:
+                     tokenizer, scheduler, clip_skip: int = 0,
+                     scheduler_config=None) -> None:
         self.encoder = CLIPEncoder(text_model, text_params, vision_model,
                                    vision_params, tokenizer,
                                    clip_skip=clip_skip)
         self.guide = Guide(self.encoder)
         self.pipe = FlexPipeline(unet, unet_params, vae, vae_params,
-                                 scheduler=scheduler)
+                                 scheduler=scheduler,
+                                 scheduler_config=scheduler_config)
         self.eta = 0.0  # DDIM η — a real parameter here, never a timer.
         self._key = jax.random.PRNGKey(0)
         self.output_dir = self.config.output_dir
