@@ -23,19 +23,33 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument('--models', default='./models',
                    help='dir with HF snapshots of SD-1.4 and CLIP ViT-L/14')
     p.add_argument('--scheduler', default='pndm',
-                   choices=('ddim', 'pndm', 'lms', 'euler', 'dpmpp'))
+                   choices=('ddim', 'pndm', 'lms', 'euler', 'euler_a', 'dpmpp'))
     p.add_argument('--clip-skip', type=int, default=0, choices=(0, 1),
                    help='1 = condition on the penultimate CLIP layer')
+    p.add_argument('--karras', action='store_true',
+                   help='Karras sigma spacing (euler/dpmpp only)')
+    p.add_argument('--v-prediction', action='store_true',
+                   help='v-parameterized model (SD2.x 768-v checkpoints)')
 
 
 def _runner(args):
     from flexdiffuse_tpu.config import RunConfig
     from flexdiffuse_tpu.runner import Runner
+    scheduler_config = None
+    if getattr(args, 'karras', False) or getattr(args, 'v_prediction', False):
+        from flexdiffuse_tpu.schedulers import SchedulerConfig
+        scheduler_config = SchedulerConfig(
+            kind=args.scheduler,
+            use_karras_sigmas=getattr(args, 'karras', False),
+            prediction_type=('v_prediction'
+                             if getattr(args, 'v_prediction', False) else
+                             'epsilon'))
     return Runner(model_root=args.models,
                   config=RunConfig(output_dir=getattr(args, 'out',
                                                       './outputs')),
                   scheduler=args.scheduler,
-                  clip_skip=getattr(args, 'clip_skip', 0))
+                  clip_skip=getattr(args, 'clip_skip', 0),
+                  scheduler_config=scheduler_config)
 
 
 def cmd_download(args) -> int:

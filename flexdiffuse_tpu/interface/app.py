@@ -23,7 +23,7 @@ def main() -> None:
                         help='bind 0.0.0.0 instead of localhost')
     parser.add_argument('--port', type=int, default=7860)
     parser.add_argument('--scheduler', default='pndm',
-                        choices=('ddim', 'pndm', 'lms', 'euler', 'dpmpp'))
+                        choices=('ddim', 'pndm', 'lms', 'euler', 'euler_a', 'dpmpp'))
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO,

@@ -159,7 +159,7 @@ def sweep(pipe: FlexPipeline,
         latents = jax.vmap(
             lambda k: jax.random.normal(k, (h, w, c), jnp.float32))(
                 seeds_key)
-        if schedule.kind in ('lms', 'euler'):
+        if schedule.kind in schedulers.SIGMA_SPACE_KINDS:
             latents = latents * schedule.sigmas[0]
 
     guidance = SimpleGuidance(embeddings=emb, uncond=uncond,
@@ -232,7 +232,7 @@ def compose_sweep(pipe: FlexPipeline,
     latents = jax.vmap(
         lambda k: jax.random.normal(k, (h, w, pipe.latent_channels),
                                     jnp.float32))(seeds_key)
-    if schedule.kind in ('lms', 'euler'):
+    if schedule.kind in schedulers.SIGMA_SPACE_KINDS:
         latents = latents * schedule.sigmas[0]
     return _run_sharded(pipe, mesh, guidance, latents, 0, eta, seeds_key,
                         schedule=schedule)

@@ -305,7 +305,7 @@ class FlexPipeline:
                 k_noise,
                 (batch_size, height // f, width // f, self.latent_channels),
                 jnp.float32)
-            if schedule.kind in ('lms', 'euler'):
+            if schedule.kind in schedulers.SIGMA_SPACE_KINDS:
                 latents = latents * schedule.sigmas[0]
             t_start = 0
 

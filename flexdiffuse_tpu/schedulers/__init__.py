@@ -18,15 +18,16 @@ import jax.numpy as jnp
 from flexdiffuse_tpu.schedulers import ddim as _ddim
 from flexdiffuse_tpu.schedulers import dpmpp as _dpmpp
 from flexdiffuse_tpu.schedulers import euler as _euler
+from flexdiffuse_tpu.schedulers import euler_ancestral as _euler_a
 from flexdiffuse_tpu.schedulers import lms as _lms
 from flexdiffuse_tpu.schedulers import pndm as _pndm
-from flexdiffuse_tpu.schedulers.base import (Schedule, SchedulerConfig,
-                                             alphas_cumprod,
+from flexdiffuse_tpu.schedulers.base import (SIGMA_SPACE_KINDS, Schedule,
+                                             SchedulerConfig, alphas_cumprod,
                                              ddim_like_add_noise,
                                              init_timestep_info, make_betas)
 
 _KINDS = {'ddim': _ddim, 'pndm': _pndm, 'lms': _lms,
-          'euler': _euler, 'dpmpp': _dpmpp}
+          'euler': _euler, 'euler_a': _euler_a, 'dpmpp': _dpmpp}
 
 Array = jax.Array
 
@@ -36,7 +37,8 @@ def make(kind: str, steps: int,
     if kind not in _KINDS:
         raise ValueError(f'unknown scheduler {kind!r}; one of {list(_KINDS)}')
     config = config or SchedulerConfig(kind=kind)
-    if config.use_karras_sigmas and kind not in ('euler', 'dpmpp'):
+    if config.use_karras_sigmas and kind not in ('euler', 'euler_a',
+                                                 'dpmpp'):
         raise ValueError(
             f'use_karras_sigmas is only supported for euler/dpmpp, not '
             f'{kind!r}')
@@ -56,7 +58,7 @@ def init_state(schedule: Schedule, latent_shape, dtype) -> tuple:
 def scale_model_input(schedule: Schedule, sample: Array, i: Array) -> Array:
     if schedule.kind == 'lms':
         return _lms.scale_model_input(schedule, sample, i)
-    if schedule.kind == 'euler':
+    if schedule.kind in ('euler', 'euler_a'):
         return _euler.scale_model_input(schedule, sample, i)
     return sample
 
@@ -71,7 +73,7 @@ def convert_v_prediction(schedule: Schedule, v: Array, i: Array,
     """
     x = sample.astype(jnp.float32)
     v = v.astype(jnp.float32)
-    if schedule.kind in ('lms', 'euler'):
+    if schedule.kind in SIGMA_SPACE_KINDS:
         sigma = schedule.sigmas[i]
         return x * (sigma / (sigma * sigma + 1.0)) + v * jax.lax.rsqrt(
             sigma * sigma + 1.0)
@@ -100,7 +102,7 @@ def add_noise(schedule: Schedule, sample: Array, noise: Array,
     the sigma table (flex.py:200-204); DDIM/PNDM use the timestep *value*
     ``timesteps[-init_timestep]`` (flex.py:206-209).
     """
-    if schedule.kind in ('lms', 'euler'):
+    if schedule.kind in SIGMA_SPACE_KINDS:
         mod = _lms if schedule.kind == 'lms' else _euler
         return mod.add_noise(schedule, sample, noise,
                              schedule.num_steps - init_timestep)
@@ -139,7 +141,7 @@ def anchor_noise(schedule: Schedule, sample: Array, noise: Array, i: Array,
     length = schedule.length
     f32 = sample.astype(jnp.float32)
     n32 = noise.astype(jnp.float32)
-    if schedule.kind in ('lms', 'euler'):
+    if schedule.kind in SIGMA_SPACE_KINDS:
         sigma = schedule.sigmas[jnp.clip(i + 1, 0, length)]
         return (f32 + n32 * sigma).astype(sample.dtype)
     if schedule.kind == 'dpmpp':
@@ -170,5 +172,6 @@ def anchor_noise(schedule: Schedule, sample: Array, noise: Array, i: Array,
 __all__ = [
     'Schedule', 'SchedulerConfig', 'make', 'init_state', 'scale_model_input',
     'step', 'add_noise', 'init_timestep_info', 'make_betas',
-    'alphas_cumprod', 'anchor_noise', 'convert_v_prediction'
+    'alphas_cumprod', 'anchor_noise', 'convert_v_prediction',
+    'SIGMA_SPACE_KINDS'
 ]

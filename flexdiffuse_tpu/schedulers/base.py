@@ -29,6 +29,10 @@ from flax import struct
 
 Array = jax.Array
 
+# Scheduler kinds whose carry lives in k-diffusion sigma space
+# (x = x0 + sigma*eps; input scaling x/sqrt(sigma^2+1)).
+SIGMA_SPACE_KINDS = ('lms', 'euler', 'euler_a')
+
 
 @dataclasses.dataclass(frozen=True)
 class SchedulerConfig:

@@ -169,3 +169,110 @@ def test_karras_sigma_option():
         eps = (x - x0) / sch.sigmas[i]
         _, x = schedulers.step(sch, (), eps, jnp.int32(i), jnp.int32(i), x)
     np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-4)
+
+
+class TestEulerAncestral:
+    def _make(self, steps=8, karras=False):
+        from flexdiffuse_tpu import schedulers
+        return schedulers.make(
+            'euler_a', steps,
+            schedulers.SchedulerConfig(kind='euler_a',
+                                       use_karras_sigmas=karras))
+
+    def test_step_matches_hand_oracle(self):
+        """One step against the k-diffusion/diffusers ancestral formulas."""
+        from flexdiffuse_tpu import schedulers
+        sch = self._make()
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(1, 4, 4, 4)).astype(np.float32))
+        eps = jnp.asarray(rng.normal(size=(1, 4, 4, 4)).astype(np.float32))
+        key = jax.random.PRNGKey(7)
+        i = 2
+        _, got = schedulers.step(sch, (), eps, jnp.int32(i), jnp.int32(i),
+                                 x, key, 0.0)
+        s_from = float(sch.sigmas[i])
+        s_to = float(sch.sigmas[i + 1])
+        up2 = s_to**2 * (s_from**2 - s_to**2) / s_from**2
+        s_down = np.sqrt(s_to**2 - up2)
+        noise = np.asarray(jax.random.normal(key, x.shape, jnp.float32))
+        ref = np.asarray(x) + np.asarray(eps) * (s_down - s_from) \
+            + noise * np.sqrt(up2)
+        np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
+
+    def test_final_step_deterministic_and_lands_on_x0(self):
+        from flexdiffuse_tpu import schedulers
+        sch = self._make()
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(1, 4, 4, 4)).astype(np.float32))
+        eps = jnp.asarray(rng.normal(size=(1, 4, 4, 4)).astype(np.float32))
+        i = sch.length - 1
+        outs = [
+            np.asarray(
+                schedulers.step(sch, (), eps, jnp.int32(i), jnp.int32(i), x,
+                                jax.random.PRNGKey(s), 0.0)[1])
+            for s in (0, 1)
+        ]
+        # σ_to = 0: no ancestral noise → key-independent, = x − σ·ε = x0.
+        np.testing.assert_array_equal(outs[0], outs[1])
+        s_from = float(sch.sigmas[i])
+        np.testing.assert_allclose(outs[0],
+                                   np.asarray(x) - s_from * np.asarray(eps),
+                                   atol=1e-5)
+
+    def test_keys_change_intermediate_steps(self):
+        from flexdiffuse_tpu import schedulers
+        sch = self._make()
+        x = jnp.ones((1, 4, 4, 4))
+        eps = jnp.zeros((1, 4, 4, 4))
+        a = schedulers.step(sch, (), eps, jnp.int32(1), jnp.int32(1), x,
+                            jax.random.PRNGKey(0), 0.0)[1]
+        b = schedulers.step(sch, (), eps, jnp.int32(1), jnp.int32(1), x,
+                            jax.random.PRNGKey(1), 0.0)[1]
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6
+
+    def test_variance_preserved_marginal(self):
+        """σ_down² + σ_up² = σ_to²: the post-step marginal std is exactly
+        σ_to when the incoming state carries σ_from."""
+        sch = self._make(steps=6)
+        sig = np.asarray(sch.sigmas)
+        for i in range(5):
+            s_from, s_to = sig[i], sig[i + 1]
+            up2 = s_to**2 * (s_from**2 - s_to**2) / s_from**2
+            down2 = s_to**2 - up2
+            assert up2 >= -1e-12
+            np.testing.assert_allclose(down2 + up2, s_to**2, rtol=1e-6)
+
+    def test_pipeline_smoke_and_karras(self):
+        from flexdiffuse_tpu import schedulers
+        from flexdiffuse_tpu.models import (AutoencoderKL, TINY_UNET,
+                                            TINY_VAE, UNet2DCondition)
+        from flexdiffuse_tpu.pipeline import FlexPipeline
+        from flexdiffuse_tpu.pipeline.guides import SimpleGuidance
+        k = jax.random.PRNGKey(0)
+        unet = UNet2DCondition(TINY_UNET)
+        up = unet.init(k, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+                       jnp.zeros((1, 77, 32)))
+        vae = AutoencoderKL(TINY_VAE)
+        vp = vae.init(k, jnp.zeros((1, 16, 16, 3)), k)
+        g = SimpleGuidance(embeddings=jnp.zeros((1, 77, 32)),
+                           uncond=jnp.zeros((1, 77, 32)),
+                           guidance_scale=jnp.float32(7.5))
+        for cfg in (None,
+                    schedulers.SchedulerConfig(kind='euler_a',
+                                               use_karras_sigmas=True)):
+            pipe = FlexPipeline(unet, up, vae, vp, scheduler='euler_a',
+                                scheduler_config=cfg)
+            out = pipe(g, steps=3, init_size=(32, 32), output_type='np')
+            assert np.isfinite(out.images).all()
+            # Same seed → identical; different seed → different.
+            out2 = pipe(g, steps=3, init_size=(32, 32), output_type='np')
+            np.testing.assert_array_equal(out.images, out2.images)
+            out3 = pipe(g, steps=3, init_size=(32, 32), output_type='np',
+                        key=jax.random.PRNGKey(9))
+            assert np.abs(out3.images - out.images).max() > 1e-6
+        # img2img path (σ-space add_noise) runs too.
+        init = np.zeros((1, 32, 32, 3), np.float32)
+        pipe = FlexPipeline(unet, up, vae, vp, scheduler='euler_a')
+        out = pipe(g, steps=4, init_image=init, strength=0.5,
+                   output_type='np')
+        assert np.isfinite(out.images).all()

@@ -13,7 +13,7 @@ import pytest
 
 from flexdiffuse_tpu import schedulers
 
-KINDS = ['ddim', 'pndm', 'lms', 'euler', 'dpmpp']
+KINDS = ['ddim', 'pndm', 'lms', 'euler', 'euler_a', 'dpmpp']
 
 
 def _make(kind, steps, v=False):
@@ -29,7 +29,7 @@ def test_conversion_recovers_epsilon_analytically(kind):
     x0 = jnp.asarray(rng.normal(size=(1, 4, 4, 4)).astype(np.float32))
     eps = jnp.asarray(rng.normal(size=(1, 4, 4, 4)).astype(np.float32))
     for i in [0, 3, 7]:
-        if kind in ('lms', 'euler'):
+        if kind in ('lms', 'euler', 'euler_a'):
             sigma = float(sch.sigmas[i])
             sample = x0 + sigma * eps          # σ-space carry
             # v is defined on the VP-scaled input: √ᾱ = 1/√(σ²+1).
@@ -53,7 +53,7 @@ def test_conversion_recovers_epsilon_analytically(kind):
 
 def _v_from_eps(sch, kind, eps, i, sample):
     """Inverse of convert_v_prediction (what a v-model would emit)."""
-    if kind in ('lms', 'euler'):
+    if kind in ('lms', 'euler', 'euler_a'):
         sigma = sch.sigmas[i]
         return (eps - sample * sigma / (sigma**2 + 1.0)) * jnp.sqrt(
             sigma**2 + 1.0)
@@ -85,7 +85,7 @@ def test_v_mode_reproduces_eps_mode_trajectory(kind):
             if as_v:
                 out = _v_from_eps(sch, kind, out, ii, lat)
             state, lat = schedulers.step(sch, state, out, ii, ii, lat,
-                                         None, 0.0)
+                                         jax.random.PRNGKey(i), 0.0)
         return np.asarray(lat)
 
     np.testing.assert_allclose(run(sch_v, True), run(sch_e, False),
