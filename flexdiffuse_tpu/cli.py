@@ -30,6 +30,9 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
                    help='Karras sigma spacing (euler/dpmpp only)')
     p.add_argument('--v-prediction', action='store_true',
                    help='v-parameterized model (SD2.x 768-v checkpoints)')
+    p.add_argument('--lora', action='append', default=[], metavar='PATH[:S]',
+                   help='merge a kohya-format LoRA (optional :scale, '
+                        'repeatable)')
 
 
 def _runner(args):
@@ -44,12 +47,20 @@ def _runner(args):
             prediction_type=('v_prediction'
                              if getattr(args, 'v_prediction', False) else
                              'epsilon'))
-    return Runner(model_root=args.models,
-                  config=RunConfig(output_dir=getattr(args, 'out',
-                                                      './outputs')),
-                  scheduler=args.scheduler,
-                  clip_skip=getattr(args, 'clip_skip', 0),
-                  scheduler_config=scheduler_config)
+    runner = Runner(model_root=args.models,
+                    config=RunConfig(output_dir=getattr(args, 'out',
+                                                        './outputs')),
+                    scheduler=args.scheduler,
+                    clip_skip=getattr(args, 'clip_skip', 0),
+                    scheduler_config=scheduler_config)
+    for spec in getattr(args, 'lora', []):
+        path, _, s_part = spec.rpartition(':')
+        if path and len(s_part) < 8 and s_part.replace(
+                '.', '', 1).replace('-', '', 1).isdigit():
+            runner.apply_lora(path, float(s_part))
+        else:
+            runner.apply_lora(spec)
+    return runner
 
 
 def cmd_download(args) -> int:

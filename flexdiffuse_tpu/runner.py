@@ -134,6 +134,22 @@ class Runner:
         self.timer = PhaseTimer()
 
     # ------------------------------------------------------------------
+    def apply_lora(self, path: str, scale: float = 1.0) -> None:
+        """Merge a kohya-format LoRA safetensors adapter into the loaded
+        UNet + text-encoder weights (beyond-reference; see weights/lora.py).
+
+        Merging happens host-side once; compiled programs are unchanged and
+        repeated calls stack adapters."""
+        from flexdiffuse_tpu.weights import load as _load
+        from flexdiffuse_tpu.weights import lora as _lora
+        sd = _load.load_state_dict(path)
+        unet_p, text_p = _lora.apply_lora(self.pipe.unet_params,
+                                          self.encoder._text_params, sd,
+                                          scale=scale)
+        self.pipe.unet_params = unet_p
+        self.encoder._text_params = text_p
+
+    # ------------------------------------------------------------------
     def _set_seed(self, seed: Optional[int]) -> int:
         seed = clamp_seed(seed)
         if seed is None:

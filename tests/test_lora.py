@@ -1,0 +1,184 @@
+"""LoRA merging: kohya-format adapters folded into the param pytrees."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flexdiffuse_tpu.models import (TINY_TEXT, TINY_UNET, CLIPTextModel,
+                                    UNet2DCondition)
+from flexdiffuse_tpu.weights import lora
+
+
+def _tiny_unet():
+    unet = UNet2DCondition(TINY_UNET)
+    params = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+                       jnp.zeros((1,)), jnp.zeros((1, 77, 32)))
+    return unet, params
+
+
+def _lora_pair(rng, out_dim, in_dim, rank=4):
+    down = rng.normal(size=(rank, in_dim)).astype(np.float32) * 0.1
+    up = rng.normal(size=(out_dim, rank)).astype(np.float32) * 0.1
+    return down, up
+
+
+def test_unet_attention_lora_merges_and_changes_output():
+    unet, params = _tiny_unet()
+    rng = np.random.default_rng(0)
+    c = TINY_UNET.block_channels[0]            # 32: level-0 attention width
+    down_q, up_q = _lora_pair(rng, c, c)
+    down_ff, up_ff = _lora_pair(rng, c * 8, c)  # GEGLU proj_in: dim*4*2
+    sd = {
+        'lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn1'
+        '_to_q.lora_down.weight': down_q,
+        'lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn1'
+        '_to_q.lora_up.weight': up_q,
+        'lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn1'
+        '_to_q.alpha': np.float32(4.0),
+        'lora_unet_down_blocks_0_attentions_0_transformer_blocks_0'
+        '_ff_net_0_proj.lora_down.weight': down_ff,
+        'lora_unet_down_blocks_0_attentions_0_transformer_blocks_0'
+        '_ff_net_0_proj.lora_up.weight': up_ff,
+    }
+    merged, _ = lora.apply_lora(params, None, sd, scale=0.7)
+
+    # Exact kernel delta: W_flax += scale*(alpha/r)*(up@down)^T.
+    w0 = np.asarray(params['params']['down_0_attn_0']['blocks_0']['attn1']
+                    ['to_q']['kernel'])
+    w1 = np.asarray(merged['params']['down_0_attn_0']['blocks_0']['attn1']
+                    ['to_q']['kernel'])
+    np.testing.assert_allclose(w1 - w0, 0.7 * (4.0 / 4) * (up_q @ down_q).T,
+                               atol=1e-6)
+    # alpha defaults to rank when absent → factor 1.
+    f0 = np.asarray(params['params']['down_0_attn_0']['blocks_0']['ff']
+                    ['proj_in']['kernel'])
+    f1 = np.asarray(merged['params']['down_0_attn_0']['blocks_0']['ff']
+                    ['proj_in']['kernel'])
+    np.testing.assert_allclose(f1 - f0, 0.7 * (up_ff @ down_ff).T,
+                               atol=1e-6)
+
+    # The merged model actually computes differently; scale=0 is identity.
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 4)).astype(np.float32))
+    ctx = jnp.asarray(rng.normal(size=(1, 77, 32)).astype(np.float32))
+    y0 = unet.apply(params, x, jnp.zeros((1,)), ctx)
+    y1 = unet.apply(merged, x, jnp.zeros((1,)), ctx)
+    assert np.abs(np.asarray(y1) - np.asarray(y0)).max() > 1e-6
+    zero, _ = lora.apply_lora(params, None, sd, scale=0.0)
+    yz = unet.apply(zero, x, jnp.zeros((1,)), ctx)
+    np.testing.assert_array_equal(np.asarray(yz), np.asarray(y0))
+
+
+def test_proj_in_conv_layout_lora():
+    """Transformer proj_in is a 1×1 conv here; conv-layout LoRA tensors
+    ([r, in, 1, 1]) must merge into the [1, 1, in, out] kernel."""
+    unet, params = _tiny_unet()
+    rng = np.random.default_rng(1)
+    c = TINY_UNET.block_channels[0]
+    down, up = _lora_pair(rng, c, c)
+    sd = {
+        'lora_unet_down_blocks_0_attentions_0_proj_in.lora_down.weight':
+            down[:, :, None, None],
+        'lora_unet_down_blocks_0_attentions_0_proj_in.lora_up.weight':
+            up[:, :, None, None],
+    }
+    merged, _ = lora.apply_lora(params, None, sd)
+    w0 = np.asarray(
+        params['params']['down_0_attn_0']['proj_in']['kernel'])
+    w1 = np.asarray(
+        merged['params']['down_0_attn_0']['proj_in']['kernel'])
+    np.testing.assert_allclose(w1 - w0, (up @ down).T[None, None],
+                               atol=1e-6)
+
+
+def test_text_encoder_lora():
+    clip = CLIPTextModel(TINY_TEXT)
+    params = clip.init(jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32))
+    rng = np.random.default_rng(2)
+    d = TINY_TEXT.hidden_size
+    down, up = _lora_pair(rng, d, d)
+    sd = {
+        'lora_te_text_model_encoder_layers_1_self_attn_q_proj'
+        '.lora_down.weight': down,
+        'lora_te_text_model_encoder_layers_1_self_attn_q_proj'
+        '.lora_up.weight': up,
+    }
+    _, merged = lora.apply_lora(None, params, sd)
+    w0 = np.asarray(params['params']['encoder']['layers_1']['self_attn']
+                    ['q_proj']['kernel'])
+    w1 = np.asarray(merged['params']['encoder']['layers_1']['self_attn']
+                    ['q_proj']['kernel'])
+    np.testing.assert_allclose(w1 - w0, (up @ down).T, atol=1e-6)
+    ids = jnp.zeros((1, 77), jnp.int32)
+    assert np.abs(np.asarray(clip.apply(merged, ids))
+                  - np.asarray(clip.apply(params, ids))).max() > 1e-8
+
+
+def test_wrong_base_model_raises_and_unknown_keys_skipped():
+    _, params = _tiny_unet()
+    rng = np.random.default_rng(3)
+    down, up = _lora_pair(rng, 8, 8)
+    sd = {
+        # attention block index 5 doesn't exist in the tiny model
+        'lora_unet_down_blocks_5_attentions_0_transformer_blocks_0_attn1'
+        '_to_q.lora_down.weight': down,
+        'lora_unet_down_blocks_5_attentions_0_transformer_blocks_0_attn1'
+        '_to_q.lora_up.weight': up,
+    }
+    with pytest.raises(KeyError, match='does not match'):
+        lora.apply_lora(params, None, sd)
+    # LoCon-style conv adapters are skipped (unsupported), and with nothing
+    # applicable the call errors clearly.
+    with pytest.raises(ValueError, match='no applicable'):
+        lora.apply_lora(params, None, {
+            'lora_unet_down_blocks_0_resnets_0_conv1.lora_down.weight': down,
+            'lora_unet_down_blocks_0_resnets_0_conv1.lora_up.weight': up,
+        })
+
+
+def test_runner_apply_lora_end_to_end(tmp_path):
+    """Runner.apply_lora merges a saved safetensors adapter and changes the
+    generated image (same seed)."""
+    import safetensors.numpy as st
+    from flexdiffuse_tpu.config import RunConfig
+    from flexdiffuse_tpu.models import (TINY_VAE, TINY_VISION, AutoencoderKL,
+                                        CLIPVisionModel)
+    from flexdiffuse_tpu.runner import Runner
+
+    class FakeTokenizer:
+        def __call__(self, texts):
+            if isinstance(texts, str):
+                texts = [texts]
+            return np.full((len(texts), 77), 3, np.int32)
+
+    k = jax.random.PRNGKey(0)
+    text = CLIPTextModel(TINY_TEXT)
+    tp = text.init(k, jnp.zeros((1, 77), jnp.int32))
+    vision = CLIPVisionModel(TINY_VISION)
+    vp = vision.init(k, jnp.zeros((1, 32, 32, 3)))
+    unet = UNet2DCondition(TINY_UNET)
+    up = unet.init(k, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+                   jnp.zeros((1, 77, TINY_TEXT.hidden_size)))
+    vae = AutoencoderKL(TINY_VAE)
+    vaep = vae.init(k, jnp.zeros((1, 16, 16, 3)), k)
+    runner = Runner.from_models(
+        text, tp, vision, vp, unet, up, vae, vaep, FakeTokenizer(),
+        config=RunConfig(output_dir=str(tmp_path)))
+
+    rng = np.random.default_rng(7)
+    c = TINY_UNET.block_channels[0]
+    down, upw = _lora_pair(rng, c, c)
+    f = str(tmp_path / 'style.safetensors')
+    st.save_file({
+        'lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn1'
+        '_to_q.lora_down.weight': down,
+        'lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn1'
+        '_to_q.lora_up.weight': upw,
+    }, f)
+
+    base, _ = runner.gen(prompt='a deer', steps=2, init_size=(32, 32),
+                         samples=1, seed=5, save=False)
+    runner.apply_lora(f, scale=1.5)
+    styled, _ = runner.gen(prompt='a deer', steps=2, init_size=(32, 32),
+                           samples=1, seed=5, save=False)
+    assert np.abs(np.asarray(base[0], np.float32)
+                  - np.asarray(styled[0], np.float32)).max() > 0
