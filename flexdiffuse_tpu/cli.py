@@ -53,13 +53,9 @@ def _runner(args):
                     scheduler=args.scheduler,
                     clip_skip=getattr(args, 'clip_skip', 0),
                     scheduler_config=scheduler_config)
+    from flexdiffuse_tpu.weights.lora import parse_spec
     for spec in getattr(args, 'lora', []):
-        path, _, s_part = spec.rpartition(':')
-        if path and len(s_part) < 8 and s_part.replace(
-                '.', '', 1).replace('-', '', 1).isdigit():
-            runner.apply_lora(path, float(s_part))
-        else:
-            runner.apply_lora(spec)
+        runner.apply_lora(*parse_spec(spec))
     return runner
 
 

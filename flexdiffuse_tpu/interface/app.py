@@ -23,7 +23,16 @@ def main() -> None:
                         help='bind 0.0.0.0 instead of localhost')
     parser.add_argument('--port', type=int, default=7860)
     parser.add_argument('--scheduler', default='pndm',
-                        choices=('ddim', 'pndm', 'lms', 'euler', 'euler_a', 'dpmpp'))
+                        choices=('ddim', 'pndm', 'lms', 'euler', 'euler_a',
+                                 'dpmpp'))
+    parser.add_argument('--karras', action='store_true',
+                        help='Karras sigma spacing (euler/dpmpp only)')
+    parser.add_argument('--v-prediction', action='store_true',
+                        help='v-parameterized model (SD2.x 768-v)')
+    parser.add_argument('--lora', action='append', default=[],
+                        metavar='PATH[:S]',
+                        help='merge a kohya LoRA (optional :scale, '
+                             'repeatable)')
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO,
@@ -32,9 +41,24 @@ def main() -> None:
     def make_runner():
         from flexdiffuse_tpu.config import RunConfig
         from flexdiffuse_tpu.runner import Runner
-        return Runner(model_root=args.models,
-                      config=RunConfig(local_only=not args.download),
-                      scheduler=args.scheduler)
+        scheduler_config = None
+        if args.karras or args.v_prediction:
+            from flexdiffuse_tpu.schedulers import SchedulerConfig
+            scheduler_config = SchedulerConfig(
+                kind=args.scheduler, use_karras_sigmas=args.karras,
+                prediction_type=('v_prediction' if args.v_prediction
+                                 else 'epsilon'))
+        runner = Runner(model_root=args.models,
+                        config=RunConfig(local_only=not args.download),
+                        scheduler=args.scheduler,
+                        scheduler_config=scheduler_config)
+        for spec in args.lora:
+            path, _, s_part = spec.rpartition(':')
+            try:
+                runner.apply_lora(path, float(s_part)) if path else                     runner.apply_lora(spec)
+            except ValueError:
+                runner.apply_lora(spec)
+        return runner
 
     from flexdiffuse_tpu.interface.server import launch
     launch(make_runner, lan=args.lan, port=args.port).serve_forever()

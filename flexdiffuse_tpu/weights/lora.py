@@ -13,6 +13,10 @@ Covers the modules standard LoRA trains: transformer attention projections
 (Linear or 1×1 conv — both layouts appear in the wild), and the CLIP text
 encoder's attention/MLP. Unknown keys (LoCon conv adapters etc.) are
 reported, not silently dropped.
+
+Known limitation: SDXL LoRAs in kohya's SGM naming (``lora_unet_input_
+blocks_*``) are not yet mapped — SD1.x/SD2.x diffusers-style module names
+only.
 """
 from __future__ import annotations
 
@@ -77,6 +81,17 @@ def _te_path(module: str) -> Optional[Tuple[str, ...]]:
     if kind == 'mlp' and leaf in ('fc1', 'fc2'):
         return ('encoder', f'layers_{layer}', 'mlp', leaf)
     return None
+
+
+def parse_spec(spec: str):
+    """'path[:scale]' CLI/UI spec → (path, scale)."""
+    path, _, s_part = spec.rpartition(':')
+    if path:
+        try:
+            return path, float(s_part)
+        except ValueError:
+            pass
+    return spec, 1.0
 
 
 def parse_lora(sd: Dict[str, np.ndarray]):
