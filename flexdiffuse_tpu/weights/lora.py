@@ -14,9 +14,11 @@ Covers the modules standard LoRA trains: transformer attention projections
 encoder's attention/MLP. Unknown keys (LoCon conv adapters etc.) are
 reported, not silently dropped.
 
-Known limitation: SDXL LoRAs in kohya's SGM naming (``lora_unet_input_
-blocks_*``) are not yet mapped — SD1.x/SD2.x diffusers-style module names
-only.
+SDXL LoRAs use kohya's SGM naming (``lora_unet_input_blocks_{n}_1_*`` /
+``middle_block_1`` / ``output_blocks_{n}_1``, plus ``lora_te1_``/
+``lora_te2_`` for the dual encoders); the SGM block index → module mapping
+is derived from the UNet config's block structure, so it works for the real
+SDXL geometry and the tiny test variant alike.
 """
 from __future__ import annotations
 
@@ -70,6 +72,50 @@ def _unet_path(module: str) -> Optional[Tuple[str, ...]]:
     return None
 
 
+def sgm_block_map(config) -> Dict[str, str]:
+    """SGM (kohya SDXL) attention-module name → our UNet tree head.
+
+    Enumerates the SGM block list the way the SGM UNet builds it: input
+    blocks are [conv_in, (res[, attn]) × layers, downsample] per level;
+    output blocks are (layers+1) per level innermost-first; ``_1`` suffixes
+    select the attention submodule within a block.
+    """
+    mapping = {}
+    n = len(config.block_channels)
+    blk = 1
+    for i in range(n):
+        for j in range(config.layers_per_block):
+            if config.attention_levels[i]:
+                mapping[f'input_blocks_{blk}_1'] = f'down_{i}_attn_{j}'
+            blk += 1
+        if i != n - 1:
+            blk += 1                            # downsample block
+    mapping['middle_block_1'] = 'mid_attn'
+    blk = 0
+    for i in range(n):
+        level = n - 1 - i
+        for j in range(config.layers_per_block + 1):
+            if config.attention_levels[level]:
+                mapping[f'output_blocks_{blk}_1'] = f'up_{i}_attn_{j}'
+            blk += 1
+    return mapping
+
+
+_SGM = re.compile(r'^((?:input|output)_blocks_\d+_\d+|middle_block_\d+)_(.*)$')
+
+
+def _sgm_unet_path(module: str, block_map: Dict[str, str]) \
+        -> Optional[Tuple[str, ...]]:
+    m = _SGM.match(module)
+    if not m:
+        return None
+    head = block_map.get(m.group(1))
+    if head is None:
+        return None
+    leaf = _leaf_path(m.group(2))
+    return (head,) + leaf if leaf else None
+
+
 def _te_path(module: str) -> Optional[Tuple[str, ...]]:
     m = _TE.match(module)
     if not m:
@@ -94,12 +140,23 @@ def parse_spec(spec: str):
     return spec, 1.0
 
 
-def parse_lora(sd: Dict[str, np.ndarray]):
+def parse_lora(sd: Dict[str, np.ndarray], unet_config=None):
     """Group a kohya state dict into ``{(target, path): (down, up, alpha)}``.
 
-    ``target`` is 'unet' or 'te'; ``path`` indexes the corresponding param
-    tree. Returns ``(modules, unmapped_keys)``.
+    ``target`` is 'unet', 'te' (CLIP-L / SD1.x text) or 'te2' (SDXL's
+    second encoder); ``path`` indexes the corresponding param tree.
+    ``unet_config`` drives the SGM block mapping for SDXL-named modules
+    (defaults to the SDXL-base geometry when such keys appear). Returns
+    ``(modules, unmapped_keys)``.
     """
+    sgm_map = None
+
+    def sgm(module):
+        nonlocal sgm_map
+        if sgm_map is None:
+            from flexdiffuse_tpu.models.configs import SDXL_UNET
+            sgm_map = sgm_block_map(unet_config or SDXL_UNET)
+        return _sgm_unet_path(module, sgm_map)
     groups: dict = {}
     for key, val in sd.items():
         base, _, part = key.rpartition('.')
@@ -116,13 +173,17 @@ def parse_lora(sd: Dict[str, np.ndarray]):
             unmapped.append(base)
             continue
         if base.startswith('lora_unet_'):
-            path = _unet_path(base[len('lora_unet_'):])
+            module = base[len('lora_unet_'):]
+            path = _unet_path(module) or sgm(module)
             target = 'unet'
         elif base.startswith('lora_te_') or base.startswith('lora_te1_'):
             prefix = 'lora_te1_' if base.startswith('lora_te1_') else \
                 'lora_te_'
             path = _te_path(base[len(prefix):])
             target = 'te'
+        elif base.startswith('lora_te2_'):
+            path = _te_path(base[len('lora_te2_'):])
+            target = 'te2'
         else:
             path, target = None, None
         if path is None:
@@ -141,16 +202,20 @@ def parse_lora(sd: Dict[str, np.ndarray]):
 
 
 def apply_lora(unet_params, text_params, lora_sd: Dict[str, np.ndarray],
-               scale: float = 1.0):
+               scale: float = 1.0, text2_params=None, unet_config=None):
     """Merge a LoRA into (copies of) the UNet / text-encoder param trees.
 
-    Either tree may be ``None`` to skip its half. Raises on a LoRA module
+    Any tree may be ``None`` to skip its part (``text2_params``: SDXL's
+    second encoder, for ``lora_te2_*`` modules). Raises on a LoRA module
     whose target param doesn't exist (wrong base model); logs and skips
     key patterns outside the supported coverage.
+
+    Returns ``(unet_params, text_params)`` — or a 3-tuple including the
+    merged second-encoder tree when ``text2_params`` is given.
     """
     import jax
 
-    modules, unmapped = parse_lora(lora_sd)
+    modules, unmapped = parse_lora(lora_sd, unet_config)
     if unmapped:
         log.warning('LoRA: %d unsupported module(s) skipped (e.g. %s)',
                     len(unmapped), unmapped[0])
@@ -194,4 +259,7 @@ def apply_lora(unet_params, text_params, lora_sd: Dict[str, np.ndarray],
             node[leaf] = dict(node[leaf], kernel=kernel)
         return params
 
+    if text2_params is not None:
+        return (merge(unet_params, 'unet'), merge(text_params, 'te'),
+                merge(text2_params, 'te2'))
     return merge(unet_params, 'unet'), merge(text_params, 'te')

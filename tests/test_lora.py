@@ -182,3 +182,65 @@ def test_runner_apply_lora_end_to_end(tmp_path):
                            samples=1, seed=5, save=False)
     assert np.abs(np.asarray(base[0], np.float32)
                   - np.asarray(styled[0], np.float32)).max() > 0
+
+
+def test_sgm_block_map_real_sdxl_geometry():
+    """The config-derived SGM map must match the known SDXL-base layout."""
+    from flexdiffuse_tpu.models.configs import SDXL_UNET
+    m = lora.sgm_block_map(SDXL_UNET)
+    assert m['input_blocks_4_1'] == 'down_1_attn_0'
+    assert m['input_blocks_5_1'] == 'down_1_attn_1'
+    assert m['input_blocks_7_1'] == 'down_2_attn_0'
+    assert m['input_blocks_8_1'] == 'down_2_attn_1'
+    assert m['middle_block_1'] == 'mid_attn'
+    assert m['output_blocks_0_1'] == 'up_0_attn_0'
+    assert m['output_blocks_2_1'] == 'up_0_attn_2'
+    assert m['output_blocks_3_1'] == 'up_1_attn_0'
+    assert m['output_blocks_5_1'] == 'up_1_attn_2'
+    # level 0 has no attention: blocks 1,2,3,6 and 6.. absent
+    assert 'input_blocks_1_1' not in m
+    assert 'output_blocks_6_1' not in m
+
+
+def test_sdxl_sgm_lora_merges():
+    """SGM-named (kohya SDXL) adapter merges into the SDXL-shaped tree,
+    including the second text encoder via lora_te2_*."""
+    from flexdiffuse_tpu.models.configs import TINY_BIGG_TEXT, TINY_SDXL_UNET
+    unet = UNet2DCondition(TINY_SDXL_UNET)
+    added = {'text_embeds': jnp.zeros((1, 24)), 'time_ids': jnp.zeros((1, 6))}
+    params = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+                       jnp.zeros((1,)), jnp.zeros((1, 77, 48)), added)
+    te2 = CLIPTextModel(TINY_BIGG_TEXT)
+    te2_params = te2.init(jax.random.PRNGKey(1), jnp.zeros((1, 77),
+                                                           jnp.int32))
+    rng = np.random.default_rng(4)
+    c = TINY_SDXL_UNET.block_channels[1]        # 64: the attention level
+    # attn2 to_v is a cross-attention projection: context dim -> channels.
+    down_u, up_u = _lora_pair(rng, c, TINY_SDXL_UNET.cross_attention_dim)
+    d2 = TINY_BIGG_TEXT.hidden_size
+    down_t, up_t = _lora_pair(rng, TINY_BIGG_TEXT.intermediate_size, d2)
+    # TINY_SDXL (2 levels, 1 layer/level, attn at level 1):
+    # conv_in=0, down0 res=1, downsample=2, down1 res+attn=3 -> 3_1.
+    sd = {
+        'lora_unet_input_blocks_3_1_transformer_blocks_1_attn2_to_v'
+        '.lora_down.weight': down_u,
+        'lora_unet_input_blocks_3_1_transformer_blocks_1_attn2_to_v'
+        '.lora_up.weight': up_u,
+        'lora_te2_text_model_encoder_layers_0_mlp_fc1.lora_down.weight':
+            down_t,
+        'lora_te2_text_model_encoder_layers_0_mlp_fc1.lora_up.weight':
+            up_t,
+    }
+    merged_u, _, merged_t2 = lora.apply_lora(
+        params, None, sd, text2_params=te2_params,
+        unet_config=TINY_SDXL_UNET)
+    w0 = np.asarray(params['params']['down_1_attn_0']['blocks_1']['attn2']
+                    ['to_v']['kernel'])
+    w1 = np.asarray(merged_u['params']['down_1_attn_0']['blocks_1']['attn2']
+                    ['to_v']['kernel'])
+    np.testing.assert_allclose(w1 - w0, (up_u @ down_u).T, atol=1e-6)
+    t0 = np.asarray(te2_params['params']['encoder']['layers_0']['mlp']
+                    ['fc1']['kernel'])
+    t1 = np.asarray(merged_t2['params']['encoder']['layers_0']['mlp']
+                    ['fc1']['kernel'])
+    assert np.abs(t1 - t0).max() > 0
