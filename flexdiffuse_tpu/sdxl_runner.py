@@ -55,6 +55,22 @@ class SDXLRunner:
         self._key = jax.random.PRNGKey(0)
 
     # ------------------------------------------------------------------
+    def apply_lora(self, path: str, scale: float = 1.0) -> None:
+        """Merge a kohya SDXL LoRA (SGM-named ``lora_unet_*`` +
+        ``lora_te1_``/``lora_te2_``) into the loaded weights; repeated
+        calls stack (weights/lora.py)."""
+        from flexdiffuse_tpu.models.configs import SDXL_UNET
+        from flexdiffuse_tpu.weights import load as _load
+        from flexdiffuse_tpu.weights import lora as _lora
+        sd = _load.load_state_dict(path)
+        unet_p, te1_p, te2_p = _lora.apply_lora(
+            self.pipe.unet_params, self.text._p1, sd, scale=scale,
+            text2_params=self.text._p2, unet_config=SDXL_UNET)
+        self.pipe.unet_params = unet_p
+        self.text._p1 = te1_p
+        self.text._p2 = te2_p
+
+    # ------------------------------------------------------------------
     def _set_seed(self, seed: Optional[int]) -> None:
         seed = clamp_seed(seed)
         if seed is None:
