@@ -27,9 +27,13 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument('--clip-skip', type=int, default=0, choices=(0, 1),
                    help='1 = condition on the penultimate CLIP layer')
     p.add_argument('--karras', action='store_true',
-                   help='Karras sigma spacing (euler/dpmpp only)')
+                   help='Karras sigma spacing (euler/euler_a/dpmpp)')
     p.add_argument('--v-prediction', action='store_true',
-                   help='v-parameterized model (SD2.x 768-v checkpoints)')
+                   help='v-parameterized model (use with --model-family sd2 '
+                        'for SD2.1 768-v checkpoints)')
+    p.add_argument('--model-family', default='sd1', choices=('sd1', 'sd2'),
+                   help='checkpoint geometry: sd1 = SD1.x + CLIP ViT-L/14, '
+                        'sd2 = SD2.x + OpenCLIP ViT-H')
     p.add_argument('--lora', action='append', default=[], metavar='PATH[:S]',
                    help='merge a kohya-format LoRA (optional :scale, '
                         'repeatable)')
@@ -47,12 +51,18 @@ def _runner(args):
             prediction_type=('v_prediction'
                              if getattr(args, 'v_prediction', False) else
                              'epsilon'))
+    model_kw = {}
+    if getattr(args, 'model_family', 'sd1') == 'sd2':
+        from flexdiffuse_tpu.models import (OPENCLIP_H_TEXT, SD21_UNET,
+                                            SD21_VAE)
+        model_kw = dict(text_config=OPENCLIP_H_TEXT, unet_config=SD21_UNET,
+                        vae_config=SD21_VAE)
     runner = Runner(model_root=args.models,
                     config=RunConfig(output_dir=getattr(args, 'out',
                                                         './outputs')),
                     scheduler=args.scheduler,
                     clip_skip=getattr(args, 'clip_skip', 0),
-                    scheduler_config=scheduler_config)
+                    scheduler_config=scheduler_config, **model_kw)
     from flexdiffuse_tpu.weights.lora import parse_spec
     for spec in getattr(args, 'lora', []):
         runner.apply_lora(*parse_spec(spec))

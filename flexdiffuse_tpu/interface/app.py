@@ -26,9 +26,13 @@ def main() -> None:
                         choices=('ddim', 'pndm', 'lms', 'euler', 'euler_a',
                                  'dpmpp'))
     parser.add_argument('--karras', action='store_true',
-                        help='Karras sigma spacing (euler/dpmpp only)')
+                        help='Karras sigma spacing (euler/euler_a/dpmpp)')
     parser.add_argument('--v-prediction', action='store_true',
-                        help='v-parameterized model (SD2.x 768-v)')
+                        help='v-parameterized model (with --model-family sd2 for SD2.1 768-v)')
+    parser.add_argument('--model-family', default='sd1',
+                        choices=('sd1', 'sd2'),
+                        help='checkpoint geometry: sd1 = SD1.x + ViT-L/14, '
+                             'sd2 = SD2.x + OpenCLIP ViT-H')
     parser.add_argument('--lora', action='append', default=[],
                         metavar='PATH[:S]',
                         help='merge a kohya LoRA (optional :scale, '
@@ -48,16 +52,19 @@ def main() -> None:
                 kind=args.scheduler, use_karras_sigmas=args.karras,
                 prediction_type=('v_prediction' if args.v_prediction
                                  else 'epsilon'))
+        model_kw = {}
+        if args.model_family == 'sd2':
+            from flexdiffuse_tpu.models import (OPENCLIP_H_TEXT, SD21_UNET,
+                                                SD21_VAE)
+            model_kw = dict(text_config=OPENCLIP_H_TEXT,
+                            unet_config=SD21_UNET, vae_config=SD21_VAE)
         runner = Runner(model_root=args.models,
                         config=RunConfig(local_only=not args.download),
                         scheduler=args.scheduler,
-                        scheduler_config=scheduler_config)
+                        scheduler_config=scheduler_config, **model_kw)
+        from flexdiffuse_tpu.weights.lora import parse_spec
         for spec in args.lora:
-            path, _, s_part = spec.rpartition(':')
-            try:
-                runner.apply_lora(path, float(s_part)) if path else                     runner.apply_lora(spec)
-            except ValueError:
-                runner.apply_lora(spec)
+            runner.apply_lora(*parse_spec(spec))
         return runner
 
     from flexdiffuse_tpu.interface.server import launch

@@ -40,8 +40,8 @@ def make(kind: str, steps: int,
     if config.use_karras_sigmas and kind not in ('euler', 'euler_a',
                                                  'dpmpp'):
         raise ValueError(
-            f'use_karras_sigmas is only supported for euler/dpmpp, not '
-            f'{kind!r}')
+            'use_karras_sigmas is only supported for euler/euler_a/dpmpp, '
+            f'not {kind!r}')
     if config.prediction_type not in ('epsilon', 'v_prediction'):
         raise ValueError(
             f'unknown prediction_type {config.prediction_type!r}')

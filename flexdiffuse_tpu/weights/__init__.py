@@ -1,4 +1,4 @@
 """Weights: HF checkpoint conversion and cached loading."""
 from flexdiffuse_tpu.weights import convert, load, lora
 
-__all__ = ["convert", "load"]
+__all__ = ["convert", "load", "lora"]

@@ -221,6 +221,13 @@ def apply_lora(unet_params, text_params, lora_sd: Dict[str, np.ndarray],
                     len(unmapped), unmapped[0])
     if not modules:
         raise ValueError('no applicable LoRA modules found')
+    provided = {'unet': unet_params is not None, 'te': text_params is not None,
+                'te2': text2_params is not None}
+    dropped = sorted({t for (t, _) in modules if not provided[t]})
+    if dropped:
+        log.warning(
+            'LoRA: modules targeting %s skipped — no such param tree was '
+            'passed (partial application)', '/'.join(dropped))
 
     def merge(tree, target):
         if tree is None:
