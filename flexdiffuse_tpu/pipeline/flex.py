@@ -277,6 +277,44 @@ class FlexPipeline:
         schedule = self.schedule(steps)
         f = self.vae_scale
 
+        # Native inpainting checkpoints (9-channel UNets, e.g.
+        # runwayml/stable-diffusion-inpainting): mask + masked-image latents
+        # ride as extra UNet input channels every step, latents start from
+        # full noise, and no latent re-anchoring is needed.
+        native_inpaint = (mask is not None and
+                          self.unet.config.in_channels >
+                          self.latent_channels)
+        if native_inpaint:
+            if not isinstance(guide, SimpleGuidance):
+                raise ValueError('inpainting-checkpoint conditioning is '
+                                 'supported for SimpleGuidance only')
+            if isinstance(init_image, Image.Image):
+                init_image = preprocess(init_image)
+            pixels = jnp.asarray(init_image)
+            hpix, wpix = pixels.shape[1:3]
+            pix_mask = prepare_latent_mask(mask, (hpix, wpix))  # [1,H,W,1]
+            masked = pixels * (1.0 - pix_mask)  # keep region only
+            masked_latents = self._encode(self.vae_params, masked, k_enc)
+            latent_mask = prepare_latent_mask(mask, (hpix // f, wpix // f))
+            extra = jnp.concatenate(
+                [latent_mask,
+                 jnp.broadcast_to(masked_latents,
+                                  latent_mask.shape[:3] +
+                                  (masked_latents.shape[-1],))], axis=-1)
+            guide = guide.replace(extra_channels=extra)
+            latents = jax.random.normal(
+                k_noise, (batch_size, hpix // f, wpix // f,
+                          self.latent_channels), jnp.float32)
+            if schedule.kind in schedulers.SIGMA_SPACE_KINDS:
+                latents = latents * schedule.sigmas[0]
+            state0 = schedulers.init_state(schedule, latents.shape,
+                                           latents.dtype)
+            latents, all_latents = self._sample(
+                self.unet_params, schedule, state0, guide, latents,
+                jnp.int32(0), jnp.float32(eta), k_scan, debug=debug)
+            return self._package(latents, all_latents, 0, debug,
+                                 output_type, return_dict)
+
         if init_image is not None:
             if getattr(schedule, 'prk', False):
                 # The PRK feed is steps+9 positions whose first 12 span only
@@ -326,6 +364,12 @@ class FlexPipeline:
                                             debug=debug,
                                             inpaint=mask is not None)
 
+        return self._package(latents, all_latents, t_start, debug,
+                             output_type, return_dict)
+
+    def _package(self, latents, all_latents, t_start, debug, output_type,
+                 return_dict):
+        """Decode + wrap outputs (shared by the generation paths)."""
         if debug:
             # Decode every recorded step from t_start on (reference debug
             # mode, flex.py:254-301). all_latents is [L, B, h, w, C].

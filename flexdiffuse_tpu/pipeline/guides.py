@@ -49,6 +49,11 @@ class SimpleGuidance(struct.PyTreeNode):
     pooled: Optional[Array] = None
     uncond_pooled: Optional[Array] = None
     time_ids: Optional[Array] = None
+    # Inpainting-checkpoint conditioning (9-channel UNets à la
+    # runwayml/stable-diffusion-inpainting): ``[B, h, w, 5]`` = mask (1ch,
+    # 1 = repaint) + masked-image latents (4ch), concatenated onto the UNet
+    # input every step. None for standard 4-channel models.
+    extra_channels: Optional[Array] = None
     cfg: bool = struct.field(pytree_node=False, default=True)
 
     @property
@@ -67,17 +72,28 @@ class SimpleGuidance(struct.PyTreeNode):
         tids = jnp.broadcast_to(self.time_ids, (n, self.time_ids.shape[-1]))
         return {'text_embeds': pooled, 'time_ids': tids}
 
+    def _with_extra(self, latents: Array) -> Array:
+        if self.extra_channels is None:
+            return latents
+        extra = jnp.broadcast_to(
+            self.extra_channels,
+            latents.shape[:3] + (self.extra_channels.shape[-1],))
+        return jnp.concatenate([latents, extra.astype(latents.dtype)],
+                               axis=-1)
+
     def noise_pred(self, noise_fn: NoiseFn, latents: Array, t: Array,
                    progress: Array = 0.0) -> Array:
         del progress
         b = self.batch_size
         if not self.cfg:
-            return noise_fn(latents, jnp.broadcast_to(t, (b,)),
-                            self.embeddings, self._added(b, False))
+            return noise_fn(self._with_extra(latents),
+                            jnp.broadcast_to(t, (b,)), self.embeddings,
+                            self._added(b, False))
         ctx = jnp.concatenate(
             [jnp.broadcast_to(self.uncond,
                               self.embeddings.shape), self.embeddings])
-        lat2 = jnp.concatenate([latents, latents])
+        lat_in = self._with_extra(latents)
+        lat2 = jnp.concatenate([lat_in, lat_in])
         eps = noise_fn(lat2, jnp.broadcast_to(t, (2 * b,)), ctx,
                        self._added(2 * b, True))
         eps_u, eps_c = jnp.split(eps, 2)
