@@ -37,6 +37,10 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument('--lora', action='append', default=[], metavar='PATH[:S]',
                    help='merge a kohya-format LoRA (optional :scale, '
                         'repeatable)')
+    p.add_argument('--embedding', action='append', default=[],
+                   metavar='PATH[:TOKEN]',
+                   help='load a textual-inversion embedding (optional '
+                        ':token name, repeatable)')
 
 
 def _runner(args):
@@ -66,6 +70,12 @@ def _runner(args):
     from flexdiffuse_tpu.weights.lora import parse_spec
     for spec in getattr(args, 'lora', []):
         runner.apply_lora(*parse_spec(spec))
+    for spec in getattr(args, 'embedding', []):
+        path, _, tok = spec.rpartition(':')
+        if path and not tok.replace('.', '').isdigit():
+            runner.load_textual_inversion(path, token=tok)
+        else:
+            runner.load_textual_inversion(spec)
     return runner
 
 

@@ -35,6 +35,7 @@ class CLIPEncoder:
         fine-tuned SD1.x checkpoints are trained against (the raw un-normed
         tap is the SDXL path, not this one); 0 is the reference behavior."""
         self.tokenizer = tokenizer
+        self._text_model = text_model
         self._text_apply = jax.jit(text_model.apply,
                                    static_argnames=('output',))
         self._vision_apply = jax.jit(vision_model.apply)

@@ -134,6 +134,38 @@ class Runner:
         self.timer = PhaseTimer()
 
     # ------------------------------------------------------------------
+    def load_textual_inversion(self, path: str,
+                               token: str = None) -> None:
+        """Load a textual-inversion embedding: registers its placeholder
+        token with the tokenizer and appends the learned vectors to the
+        text encoder's embedding table (weights/textual_inversion.py).
+        ``token`` overrides the name stored in (or implied by) the file."""
+        import os as _os
+        from flexdiffuse_tpu.weights import load as _load
+        from flexdiffuse_tpu.weights import textual_inversion as _ti
+        import dataclasses as _dc
+        sd = _load.load_state_dict(path)
+        file_token, table = _ti.extract_embedding(sd, token)
+        name = token or file_token or _os.path.splitext(
+            _os.path.basename(path))[0]
+        enc = self.encoder
+        new_params = _ti.add_textual_inversion(enc.tokenizer,
+                                               enc._text_params, name, table)
+        # flax validates the Embed shape against the module config, so the
+        # text model is rebuilt for the grown vocabulary (one recompile).
+        new_vocab = np.asarray(
+            new_params['params']['token_embedding']['embedding']).shape[0]
+        tm = enc._text_model
+        new_model = type(tm)(_dc.replace(tm.config, vocab_size=new_vocab),
+                             dtype=tm.dtype)
+        enc._text_model = new_model
+        enc._text_apply = jax.jit(new_model.apply,
+                                  static_argnames=('output',))
+        enc._text_params = new_params
+        log.info('textual inversion %r: %d vector(s) added', name,
+                 table.shape[0])
+
+    # ------------------------------------------------------------------
     def apply_lora(self, path: str, scale: float = 1.0) -> None:
         """Merge a kohya-format LoRA safetensors adapter into the loaded
         UNet + text-encoder weights (beyond-reference; see weights/lora.py).

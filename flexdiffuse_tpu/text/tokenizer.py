@@ -82,6 +82,23 @@ class CLIPTokenizer:
         self.eos_token_id = self.encoder['<|endoftext|>']
         self.model_max_length = MODEL_MAX_LENGTH
         self._cache: Dict[str, List[str]] = {}
+        # Added tokens (textual inversion): literal name → id list (multi-
+        # vector concepts expand to several consecutive embedding rows).
+        self.added_tokens: Dict[str, List[int]] = {}
+        self._added_count = 0
+
+    def add_tokens(self, name: str, num_vectors: int = 1) -> List[int]:
+        """Register a literal placeholder token mapping to ``num_vectors``
+        fresh ids just past the current vocabulary (textual inversion;
+        matched before BPE, case-insensitively)."""
+        name = name.lower()
+        if name in self.added_tokens:
+            raise ValueError(f'token {name!r} already added')
+        base = len(self.encoder) + self._added_count
+        ids = list(range(base, base + num_vectors))
+        self.added_tokens[name] = ids
+        self._added_count += num_vectors
+        return ids
 
     @classmethod
     def from_dir(cls, model_dir: str) -> 'CLIPTokenizer':
@@ -132,12 +149,26 @@ class CLIPTokenizer:
         return out
 
     def encode(self, text: str) -> List[int]:
-        """Text → BPE ids (no specials)."""
+        """Text → BPE ids (no specials). Added tokens match literally
+        before BPE."""
         text = _whitespace_clean(text).lower()
+        if self.added_tokens:
+            pattern = '(' + '|'.join(
+                re.escape(t)
+                for t in sorted(self.added_tokens, key=len, reverse=True)
+            ) + ')'
+            parts = re.split(pattern, text)
+        else:
+            parts = [text]
         ids: List[int] = []
-        for tok in _PAT.findall(text):
-            tok = ''.join(self.byte_encoder[b] for b in tok.encode('utf-8'))
-            ids.extend(self.encoder[t] for t in self._bpe(tok))
+        for part in parts:
+            if part in self.added_tokens:
+                ids.extend(self.added_tokens[part])
+                continue
+            for tok in _PAT.findall(part):
+                tok = ''.join(self.byte_encoder[b]
+                              for b in tok.encode('utf-8'))
+                ids.extend(self.encoder[t] for t in self._bpe(tok))
         return ids
 
     def __call__(self, prompts: Union[str, Sequence[str]],
