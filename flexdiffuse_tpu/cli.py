@@ -41,6 +41,9 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
                    metavar='PATH[:TOKEN]',
                    help='load a textual-inversion embedding (optional '
                         ':token name, repeatable)')
+    p.add_argument('--controlnet', default=None, metavar='PATH',
+                   help='diffusers ControlNet snapshot; use with '
+                        '--control-image on generate')
 
 
 def _runner(args):
@@ -70,6 +73,8 @@ def _runner(args):
     from flexdiffuse_tpu.weights.lora import parse_spec
     for spec in getattr(args, 'lora', []):
         runner.apply_lora(*parse_spec(spec))
+    if getattr(args, 'controlnet', None):
+        runner.load_controlnet(args.controlnet)
     for spec in getattr(args, 'embedding', []):
         path, _, tok = spec.rpartition(':')
         if path and not tok.replace('.', '').isdigit():
@@ -129,6 +134,8 @@ def cmd_generate(args) -> int:
             else args.guide  # a path → image guide; otherwise text guide
     init = Image.open(args.init_image) if args.init_image else None
     mask = Image.open(args.mask) if args.mask else None
+    control = Image.open(args.control_image) if getattr(
+        args, 'control_image', None) else None
     imgs, grid = runner.gen(
         prompt=args.prompt, init_image=init, guide=guide,
         init_size=(args.height, args.width),
@@ -142,7 +149,9 @@ def cmd_generate(args) -> int:
         guide_reuse=not args.no_reuse, strength=args.strength,
         steps=args.steps, guidance_scale=args.guidance_scale,
         samples=args.samples, seed=args.seed, debug=args.debug,
-        negative_prompt=args.negative_prompt, mask=mask)
+        negative_prompt=args.negative_prompt, mask=mask,
+        control_image=control,
+        controlnet_scale=getattr(args, 'controlnet_scale', 1.0))
     print(f'{len(imgs)} image(s) written to {runner.output_dir}')
     return 0
 
@@ -199,6 +208,10 @@ def main(argv=None) -> int:
     p.add_argument('--init-image', default='')
     p.add_argument('--mask', default='',
                    help='inpainting mask image (white = regenerate)')
+    p.add_argument('--control-image', default='',
+                   help='ControlNet conditioning image (requires '
+                        '--controlnet)')
+    p.add_argument('--controlnet-scale', type=float, default=1.0)
     p.add_argument('--concepts', default='')
     p.add_argument('--out', default='./outputs')
     p.add_argument('--height', type=int, default=512)

@@ -8,11 +8,13 @@ from flexdiffuse_tpu.models.configs import (CLIP_VIT_L14_TEXT,
                                             TINY_VISION, CLIPTextConfig,
                                             CLIPVisionConfig, UNetConfig,
                                             VAEConfig)
+from flexdiffuse_tpu.models.controlnet import ControlNetModel
 from flexdiffuse_tpu.models.unet import UNet2DCondition
 from flexdiffuse_tpu.models.vae import AutoencoderKL, sample_latents
 
 __all__ = [
     'CLIPTextModel', 'CLIPVisionModel', 'UNet2DCondition', 'AutoencoderKL',
+    'ControlNetModel',
     'sample_latents', 'CLIPTextConfig', 'CLIPVisionConfig', 'UNetConfig',
     'VAEConfig', 'TINY_TEXT', 'TINY_VISION', 'TINY_UNET', 'TINY_VAE',
     'SD14_UNET', 'SD14_VAE', 'CLIP_VIT_L14_TEXT', 'CLIP_VIT_L14_VISION',

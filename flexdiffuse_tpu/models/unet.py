@@ -189,10 +189,13 @@ class UNet2DCondition(nn.Module):
 
     @nn.compact
     def __call__(self, latents: Array, t: Array, context: Array,
-                 added_cond=None) -> Array:
+                 added_cond=None, control=None) -> Array:
         """``added_cond`` (SDXL text_time conditioning): dict with
         ``text_embeds [B, pooled_dim]`` and ``time_ids [B, 6]`` — pooled
-        second-encoder embeddings plus size/crop micro-conditioning."""
+        second-encoder embeddings plus size/crop micro-conditioning.
+        ``control`` (ControlNet): ``(down_residuals, mid_residual)`` added
+        onto the saved skip states and the mid output
+        (models/controlnet.py)."""
         cfg = self.config
         ch0 = cfg.block_channels[0]
         temb_dim = ch0 * 4
@@ -250,6 +253,12 @@ class UNet2DCondition(nn.Module):
         h = ResnetBlock(mid_ch, cfg.norm_groups, dtype=self.dtype,
                         norm_dtype=self.norm_dtype,
                         name='mid_res_1')(h, temb)
+
+        if control is not None:
+            down_res, mid_res = control
+            skips = [s + r.astype(s.dtype)
+                     for s, r in zip(skips, down_res)]
+            h = h + mid_res.astype(h.dtype)
 
         for i, ch in enumerate(reversed(cfg.block_channels)):
             level = num_levels - 1 - i

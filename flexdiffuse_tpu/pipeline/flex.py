@@ -101,7 +101,8 @@ class FlexPipeline:
                  scheduler_config: Optional[schedulers.SchedulerConfig] = None,
                  latent_scale: float = LATENT_SCALE,
                  sp_mesh=None, sp_axis: str = 'seq',
-                 sp_min_seq: int = 4096) -> None:
+                 sp_min_seq: int = 4096,
+                 controlnet=None, controlnet_params=None) -> None:
         """``sp_mesh`` (a :class:`jax.sharding.Mesh`) enables sequence-
         parallel generation: latent rows shard over ``sp_axis``, convs/norms
         partition via GSPMD (halo exchanges/psums inserted by XLA), and
@@ -122,6 +123,10 @@ class FlexPipeline:
         self.sp_mesh = sp_mesh
         self.sp_axis = sp_axis
         self.sp_min_seq = sp_min_seq
+        self.controlnet = controlnet
+        self.controlnet_params = controlnet_params
+        controlnet_apply = controlnet.apply if controlnet is not None \
+            else None
 
         unet_apply = unet.apply
         vae_apply = vae.apply
@@ -134,19 +139,31 @@ class FlexPipeline:
                 sp_mesh, PartitionSpec(None, sp_axis, None, None))
             base_unet_apply = unet_apply
 
-            def unet_apply(params, lat, t, ctx, added=None):
+            def unet_apply(params, lat, t, ctx, added=None, control=None):
                 lat = jax.lax.with_sharding_constraint(lat, row_sharding)
                 with _attn_mod.sp_context(sp_mesh, sp_axis, sp_min_seq):
-                    return base_unet_apply(params, lat, t, ctx, added)
+                    return base_unet_apply(params, lat, t, ctx, added,
+                                           control)
 
             self._sp_sharding = row_sharding
 
         @functools.partial(jax.jit, static_argnames=('debug', 'inpaint'))
         def _sample(unet_params, schedule, state0, guidance, latents,
                     t_start, eta, key, init_latents=None, mask=None,
+                    control_cond=None, cn_params=None, cn_scale=1.0,
                     debug=False, inpaint=False):
             def noise_fn(lat, t, ctx, added=None):
-                return unet_apply(unet_params, lat, t, ctx, added)
+                control = None
+                if control_cond is not None:
+                    # ControlNet branch: same model input + conditioning
+                    # image (CFG rows share it); residuals land on the
+                    # UNet's skip states.
+                    cond = jnp.broadcast_to(
+                        control_cond,
+                        (lat.shape[0],) + control_cond.shape[1:])
+                    control = controlnet_apply(cn_params, lat, t, ctx, cond,
+                                               cn_scale)
+                return unet_apply(unet_params, lat, t, ctx, added, control)
 
             def body(carry, i):
                 lat, state, k = carry
@@ -255,7 +272,10 @@ class FlexPipeline:
                  return_dict: bool = True,
                  debug: bool = False,
                  mask: Optional[Union[Image.Image, np.ndarray,
-                                      Array]] = None):
+                                      Array]] = None,
+                 control_image: Optional[Union[Image.Image,
+                                               np.ndarray]] = None,
+                 controlnet_scale: float = 1.0):
         """Generate images (reference ``FlexPipeline.__call__``
         pipeline/flex.py:126-310; ``generator`` → explicit PRNG ``key``).
 
@@ -276,6 +296,21 @@ class FlexPipeline:
         batch_size = guide.batch_size
         schedule = self.schedule(steps)
         f = self.vae_scale
+
+        control_kw = {}
+        if control_image is not None:
+            if self.controlnet is None:
+                raise ValueError('control_image given but this pipeline was '
+                                 'built without a controlnet')
+            if isinstance(control_image, Image.Image):
+                control_image = np.asarray(control_image.convert('RGB'),
+                                           np.float32) / 255.0
+            cond = jnp.asarray(control_image, jnp.float32)
+            if cond.ndim == 3:
+                cond = cond[None]
+            control_kw = dict(control_cond=cond,
+                              cn_params=self.controlnet_params,
+                              cn_scale=jnp.float32(controlnet_scale))
 
         # Native inpainting checkpoints (9-channel UNets, e.g.
         # runwayml/stable-diffusion-inpainting): mask + masked-image latents
@@ -311,7 +346,8 @@ class FlexPipeline:
                                            latents.dtype)
             latents, all_latents = self._sample(
                 self.unet_params, schedule, state0, guide, latents,
-                jnp.int32(0), jnp.float32(eta), k_scan, debug=debug)
+                jnp.int32(0), jnp.float32(eta), k_scan, debug=debug,
+                **control_kw)
             return self._package(latents, all_latents, 0, debug,
                                  output_type, return_dict)
 
@@ -362,7 +398,8 @@ class FlexPipeline:
                                                           else None),
                                             mask=latent_mask,
                                             debug=debug,
-                                            inpaint=mask is not None)
+                                            inpaint=mask is not None,
+                                            **control_kw)
 
         return self._package(latents, all_latents, t_start, debug,
                              output_type, return_dict)

@@ -166,6 +166,27 @@ class Runner:
                  table.shape[0])
 
     # ------------------------------------------------------------------
+    def load_controlnet(self, path: str) -> None:
+        """Load a diffusers ControlNet snapshot and rebuild the pipeline
+        with the control branch attached (models/controlnet.py); pass
+        ``control_image=`` (with optional ``controlnet_scale=``) to
+        :meth:`gen`."""
+        from flexdiffuse_tpu.models.controlnet import ControlNetModel
+        from flexdiffuse_tpu.weights import convert as _convert
+        from flexdiffuse_tpu.weights import load as _load
+        sd = _load.load_state_dict(path)
+        cfg = self.pipe.unet.config
+        params = {'params': _convert.convert_controlnet(sd, cfg)}
+        model = ControlNetModel(cfg, dtype=self.pipe.unet.dtype)
+        self.pipe = FlexPipeline(
+            self.pipe.unet, self.pipe.unet_params, self.pipe.vae,
+            self.pipe.vae_params, scheduler=self.pipe.scheduler_kind,
+            scheduler_config=self.pipe.scheduler_config,
+            latent_scale=self.pipe.latent_scale,
+            controlnet=model, controlnet_params=params)
+        log.info('controlnet loaded from %s', path)
+
+    # ------------------------------------------------------------------
     def apply_lora(self, path: str, scale: float = 1.0) -> None:
         """Merge a kohya-format LoRA safetensors adapter into the loaded
         UNet + text-encoder weights (beyond-reference; see weights/lora.py).
@@ -197,7 +218,9 @@ class Runner:
     def _run(self, batches: int, guidance, init_image, init_size, strength,
              steps: int, debug: bool, fp: str,
              save: bool = True,
-             mask=None) -> Tuple[List[Image.Image], Image.Image]:
+             mask=None, control_image=None,
+             controlnet_scale: float = 1.0
+             ) -> Tuple[List[Image.Image], Image.Image]:
         """Multi-batch sweep (reference ``_run`` utils.py:85-112): one
         compiled executable, new PRNG key per batch."""
         all_images: List[Image.Image] = []
@@ -206,10 +229,14 @@ class Runner:
         for b in range(batches):
             stime = time.time()
             ms_time = int(stime * 1000)
+            extra = {}
+            if control_image is not None:
+                extra = dict(control_image=control_image,
+                             controlnet_scale=controlnet_scale)
             out = self.pipe(guidance, steps=steps, init_image=init_image,
                             init_size=init_size, strength=strength,
                             eta=self.eta, key=self._next_key(), debug=debug,
-                            mask=mask)
+                            mask=mask, **extra)
             images = out.images
             log.info('batch %d/%d: %d image(s) in %.2fs', b + 1, batches,
                      len(images), time.time() - stime)
@@ -249,7 +276,9 @@ class Runner:
             debug: bool = False,
             save: bool = True,
             negative_prompt: str = '',
-            mask: Optional[Image.Image] = None):
+            mask: Optional[Image.Image] = None,
+            control_image: Optional[Image.Image] = None,
+            controlnet_scale: float = 1.0):
         """Guided generation (reference ``Runner.gen`` utils.py:114-166).
 
         ``negative_prompt`` replaces the empty-string unconditional embedding
@@ -293,7 +322,9 @@ class Runner:
             cfg=guidance_scale > 1.0)
         with self.timer.phase('generate'):
             return self._run(samples, guidance, init_image, init_size,
-                             strength, steps, debug, fp, save, mask=mask)
+                             strength, steps, debug, fp, save, mask=mask,
+                             control_image=control_image,
+                             controlnet_scale=controlnet_scale)
 
     # ------------------------------------------------------------------
     def compose(self,

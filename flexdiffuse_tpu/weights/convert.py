@@ -263,3 +263,47 @@ def convert_vae(sd: SD, config: VAEConfig) -> dict:
         'quant_conv': _conv(sd, 'quant_conv'),
         'post_quant_conv': _conv(sd, 'post_quant_conv'),
     }
+
+
+def convert_controlnet(sd: SD, config) -> dict:
+    """diffusers ``ControlNetModel`` state dict → :class:`ControlNetModel`.
+
+    The body reuses the UNet rename rules (same block naming by design,
+    models/controlnet.py); the ControlNet-specific pieces are the
+    conditioning embedding and the per-skip zero convolutions.
+    """
+    out: dict = {
+        'time_embed_1': _dense(sd, 'time_embedding.linear_1'),
+        'time_embed_2': _dense(sd, 'time_embedding.linear_2'),
+        'conv_in': _conv(sd, 'conv_in'),
+    }
+    ce = {'conv_in': _conv(sd, 'controlnet_cond_embedding.conv_in'),
+          'conv_out': _conv(sd, 'controlnet_cond_embedding.conv_out')}
+    i = 0
+    while f'controlnet_cond_embedding.blocks.{i}.weight' in sd:
+        ce[f'block_{i}'] = _conv(sd, f'controlnet_cond_embedding.blocks.{i}')
+        i += 1
+    out['cond_embed'] = ce
+
+    n = len(config.block_channels)
+    for i in range(n):
+        for j in range(config.layers_per_block):
+            out[f'down_{i}_res_{j}'] = _resnet(sd,
+                                               f'down_blocks.{i}.resnets.{j}')
+            if config.attention_levels[i]:
+                out[f'down_{i}_attn_{j}'] = _transformer2d(
+                    sd, f'down_blocks.{i}.attentions.{j}', config.depth_at(i))
+        if i != n - 1:
+            out[f'down_{i}_downsample'] = {
+                'conv': _conv(sd, f'down_blocks.{i}.downsamplers.0.conv')
+            }
+    out['mid_res_0'] = _resnet(sd, 'mid_block.resnets.0')
+    out['mid_res_1'] = _resnet(sd, 'mid_block.resnets.1')
+    out['mid_attn'] = _transformer2d(sd, 'mid_block.attentions.0',
+                                     config.depth_at(n - 1))
+    k = 0
+    while f'controlnet_down_blocks.{k}.weight' in sd:
+        out[f'zero_conv_{k}'] = _conv(sd, f'controlnet_down_blocks.{k}')
+        k += 1
+    out['zero_conv_mid'] = _conv(sd, 'controlnet_mid_block')
+    return out
