@@ -160,8 +160,11 @@ class CLIPTextModel(nn.Module):
         assert output == 'penultimate_and_pooled'
         final = nn.LayerNorm(epsilon=1e-5, name='final_layer_norm',
                              dtype=self.dtype)(x)
-        # EOS pooling: argmax of ids finds the first EOS (highest token id).
-        eos = jnp.argmax(input_ids, axis=-1)
+        # EOS pooling: first position whose id equals EOS. (HF's original
+        # ids.argmax() breaks once textual-inversion tokens are allocated
+        # above the EOS id — same fix as transformers' eos-match pooling.)
+        eos = jnp.argmax(
+            (input_ids == cfg.eos_token_id).astype(jnp.int32), axis=-1)
         pooled = final[jnp.arange(b), eos]
         pooled = nn.Dense(cfg.projection_dim, use_bias=False,
                           name='text_projection', dtype=self.dtype)(pooled)

@@ -16,6 +16,10 @@ class CLIPTextConfig:
     intermediate_size: int = 3072
     activation: str = 'quick_gelu'  # OpenCLIP bigG (SDXL enc 2) uses 'gelu'
     projection_dim: int = 0         # >0: text_projection for pooled output
+    # EOS token id for pooled-output selection. CLIP's EOS is the highest
+    # vocab id only until textual-inversion tokens extend the table, so the
+    # pool must match the id, not argmax the ids.
+    eos_token_id: int = 49407
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,7 +89,7 @@ class VAEConfig:
 
 TINY_TEXT = CLIPTextConfig(vocab_size=1000, hidden_size=32, num_layers=2,
                            num_heads=4, max_positions=77,
-                           intermediate_size=64)
+                           intermediate_size=64, eos_token_id=999)
 TINY_VISION = CLIPVisionConfig(hidden_size=32, num_layers=2, num_heads=4,
                                image_size=32, patch_size=8,
                                intermediate_size=64, projection_dim=32)
@@ -105,7 +109,7 @@ OPENCLIP_BIGG_TEXT = CLIPTextConfig(hidden_size=1280, num_layers=32,
 TINY_BIGG_TEXT = CLIPTextConfig(vocab_size=1000, hidden_size=24,
                                 num_layers=2, num_heads=4,
                                 intermediate_size=48, activation='gelu',
-                                projection_dim=24)
+                                projection_dim=24, eos_token_id=999)
 CLIP_VIT_L14_VISION = CLIPVisionConfig()
 
 # SDXL-base geometry (stabilityai/stable-diffusion-xl-base-1.0): 3 levels,

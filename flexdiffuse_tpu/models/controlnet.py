@@ -22,8 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from flexdiffuse_tpu.models.configs import UNetConfig
-from flexdiffuse_tpu.models.unet import (Downsample, ResnetBlock,
-                                         Transformer2D, timestep_embedding)
+from flexdiffuse_tpu.models.unet import embed_timestep, run_down_mid
 
 Array = jax.Array
 
@@ -79,11 +78,10 @@ class ControlNetModel(nn.Module):
                  added_cond=None) -> Tuple[Tuple[Array, ...], Array]:
         cfg = self.config
         ch0 = cfg.block_channels[0]
-        temb = timestep_embedding(t, ch0)
-        temb = nn.Dense(ch0 * 4, name='time_embed_1',
-                        dtype=self.dtype)(temb.astype(self.dtype))
-        temb = nn.Dense(ch0 * 4, name='time_embed_2',
-                        dtype=self.dtype)(nn.silu(temb))
+        # Shared down+mid path (params created here under the same names the
+        # UNet uses — models/unet.py run_down_mid); SDXL controlnets get
+        # their text_time addition embedding through the same helper.
+        temb = embed_timestep(cfg, t, added_cond, self.dtype)
 
         h = nn.Conv(ch0, (3, 3), padding=1, name='conv_in',
                     dtype=self.dtype)(latents.astype(self.dtype))
@@ -91,35 +89,8 @@ class ControlNetModel(nn.Module):
                                           dtype=self.dtype,
                                           name='cond_embed')(cond)
         h = h + jnp.broadcast_to(cond_feat, h.shape)
-
-        skips = [h]
-        num_levels = len(cfg.block_channels)
-        for i, ch in enumerate(cfg.block_channels):
-            for j in range(cfg.layers_per_block):
-                h = ResnetBlock(ch, cfg.norm_groups, dtype=self.dtype,
-                                norm_dtype=self.norm_dtype,
-                                name=f'down_{i}_res_{j}')(h, temb)
-                if cfg.attention_levels[i]:
-                    h = Transformer2D(ch, cfg.heads_for(ch),
-                                      cfg.depth_at(i), cfg.norm_groups,
-                                      dtype=self.dtype,
-                                      name=f'down_{i}_attn_{j}')(h, context)
-                skips.append(h)
-            if i != num_levels - 1:
-                h = Downsample(ch, dtype=self.dtype,
-                               name=f'down_{i}_downsample')(h)
-                skips.append(h)
-
-        mid_ch = cfg.block_channels[-1]
-        h = ResnetBlock(mid_ch, cfg.norm_groups, dtype=self.dtype,
-                        norm_dtype=self.norm_dtype, name='mid_res_0')(h,
-                                                                      temb)
-        h = Transformer2D(mid_ch, cfg.heads_for(mid_ch),
-                          cfg.depth_at(num_levels - 1), cfg.norm_groups,
-                          dtype=self.dtype, name='mid_attn')(h, context)
-        h = ResnetBlock(mid_ch, cfg.norm_groups, dtype=self.dtype,
-                        norm_dtype=self.norm_dtype, name='mid_res_1')(h,
-                                                                      temb)
+        h, skips = run_down_mid(cfg, h, temb, context, self.dtype,
+                                self.norm_dtype)
 
         scale = jnp.asarray(scale, self.dtype)
         down_res = tuple(

@@ -179,6 +179,72 @@ class Upsample(nn.Module):
                        dtype=self.dtype)(x)
 
 
+def embed_timestep(cfg: UNetConfig, t: Array, added_cond, dtype) -> Array:
+    """Timestep (+ SDXL text_time additional) embedding.
+
+    A plain function called inside ``@nn.compact`` scopes — parameters are
+    created in the caller's scope under the same names, so the UNet and the
+    ControlNet (models/controlnet.py) share conversion rename rules.
+    """
+    ch0 = cfg.block_channels[0]
+    temb_dim = ch0 * 4
+    temb = timestep_embedding(t, ch0)
+    temb = nn.Dense(temb_dim, name='time_embed_1',
+                    dtype=dtype)(temb.astype(dtype))
+    temb = nn.Dense(temb_dim, name='time_embed_2', dtype=dtype)(nn.silu(temb))
+    if cfg.addition_embed:
+        assert added_cond is not None, (
+            'this UNet config requires added_cond (text_embeds, time_ids)')
+        b = added_cond['text_embeds'].shape[0]
+        tid = added_cond['time_ids'].reshape(-1)
+        tid_emb = timestep_embedding(tid, cfg.addition_time_embed_dim)
+        tid_emb = tid_emb.reshape(b, -1)
+        add = jnp.concatenate(
+            [added_cond['text_embeds'].astype(jnp.float32), tid_emb],
+            axis=-1).astype(dtype)
+        add = nn.Dense(temb_dim, name='add_embed_1', dtype=dtype)(add)
+        add = nn.Dense(temb_dim, name='add_embed_2', dtype=dtype)(
+            nn.silu(add))
+        temb = temb + add
+    return temb
+
+
+def run_down_mid(cfg: UNetConfig, h: Array, temb: Array, context: Array,
+                 dtype, norm_dtype):
+    """The UNet's down + mid path; returns ``(h_mid, skip_states)``.
+
+    Shared verbatim (blocks AND names) between :class:`UNet2DCondition` and
+    the ControlNet's control branch — a single definition keeps the two from
+    drifting and preserves the shared weight-conversion contract.
+    """
+    skips = [h]
+    num_levels = len(cfg.block_channels)
+    for i, ch in enumerate(cfg.block_channels):
+        for j in range(cfg.layers_per_block):
+            h = ResnetBlock(ch, cfg.norm_groups, dtype=dtype,
+                            norm_dtype=norm_dtype,
+                            name=f'down_{i}_res_{j}')(h, temb)
+            if cfg.attention_levels[i]:
+                h = Transformer2D(ch, cfg.heads_for(ch), cfg.depth_at(i),
+                                  cfg.norm_groups, dtype=dtype,
+                                  name=f'down_{i}_attn_{j}')(h, context)
+            skips.append(h)
+        if i != num_levels - 1:
+            h = Downsample(ch, dtype=dtype,
+                           name=f'down_{i}_downsample')(h)
+            skips.append(h)
+
+    mid_ch = cfg.block_channels[-1]
+    h = ResnetBlock(mid_ch, cfg.norm_groups, dtype=dtype,
+                    norm_dtype=norm_dtype, name='mid_res_0')(h, temb)
+    h = Transformer2D(mid_ch, cfg.heads_for(mid_ch),
+                      cfg.depth_at(num_levels - 1), cfg.norm_groups,
+                      dtype=dtype, name='mid_attn')(h, context)
+    h = ResnetBlock(mid_ch, cfg.norm_groups, dtype=dtype,
+                    norm_dtype=norm_dtype, name='mid_res_1')(h, temb)
+    return h, skips
+
+
 class UNet2DCondition(nn.Module):
     """``(latents [B,H,W,4], t [B], context [B,T,768]) -> eps [B,H,W,4]``."""
 
@@ -197,65 +263,22 @@ class UNet2DCondition(nn.Module):
         onto the saved skip states and the mid output
         (models/controlnet.py)."""
         cfg = self.config
-        ch0 = cfg.block_channels[0]
-        temb_dim = ch0 * 4
-
-        temb = timestep_embedding(t, ch0)
-        temb = nn.Dense(temb_dim, name='time_embed_1',
-                        dtype=self.dtype)(temb.astype(self.dtype))
-        temb = nn.Dense(temb_dim, name='time_embed_2',
-                        dtype=self.dtype)(nn.silu(temb))
-        if cfg.addition_embed:
-            assert added_cond is not None, (
-                'this UNet config requires added_cond (text_embeds, time_ids)')
-            b = latents.shape[0]
-            tid = added_cond['time_ids'].reshape(-1)
-            tid_emb = timestep_embedding(tid, cfg.addition_time_embed_dim)
-            tid_emb = tid_emb.reshape(b, -1)
-            add = jnp.concatenate(
-                [added_cond['text_embeds'].astype(jnp.float32), tid_emb],
-                axis=-1).astype(self.dtype)
-            add = nn.Dense(temb_dim, name='add_embed_1', dtype=self.dtype)(add)
-            add = nn.Dense(temb_dim, name='add_embed_2',
-                           dtype=self.dtype)(nn.silu(add))
-            temb = temb + add
+        temb = embed_timestep(cfg, t, added_cond, self.dtype)
 
         x = latents.astype(self.dtype)
-        h = nn.Conv(ch0, (3, 3), padding=1, name='conv_in',
+        h = nn.Conv(cfg.block_channels[0], (3, 3), padding=1, name='conv_in',
                     dtype=self.dtype)(x)
-        skips = [h]
-
+        h, skips = run_down_mid(cfg, h, temb, context, self.dtype,
+                                self.norm_dtype)
         num_levels = len(cfg.block_channels)
-        for i, ch in enumerate(cfg.block_channels):
-            for j in range(cfg.layers_per_block):
-                h = ResnetBlock(ch, cfg.norm_groups, dtype=self.dtype,
-                                norm_dtype=self.norm_dtype,
-                                name=f'down_{i}_res_{j}')(h, temb)
-                if cfg.attention_levels[i]:
-                    h = Transformer2D(ch, cfg.heads_for(ch),
-                                      cfg.depth_at(i), cfg.norm_groups,
-                                      dtype=self.dtype,
-                                      name=f'down_{i}_attn_{j}')(h, context)
-                skips.append(h)
-            if i != num_levels - 1:
-                h = Downsample(ch, dtype=self.dtype,
-                               name=f'down_{i}_downsample')(h)
-                skips.append(h)
-
-        mid_ch = cfg.block_channels[-1]
-        h = ResnetBlock(mid_ch, cfg.norm_groups, dtype=self.dtype,
-                        norm_dtype=self.norm_dtype,
-                        name='mid_res_0')(h, temb)
-        h = Transformer2D(mid_ch, cfg.heads_for(mid_ch),
-                          cfg.depth_at(len(cfg.block_channels) - 1),
-                          cfg.norm_groups, dtype=self.dtype,
-                          name='mid_attn')(h, context)
-        h = ResnetBlock(mid_ch, cfg.norm_groups, dtype=self.dtype,
-                        norm_dtype=self.norm_dtype,
-                        name='mid_res_1')(h, temb)
 
         if control is not None:
             down_res, mid_res = control
+            if len(down_res) != len(skips):
+                raise ValueError(
+                    f'control provides {len(down_res)} down residuals but '
+                    f'the UNet has {len(skips)} skip states — mismatched '
+                    'ControlNet geometry')
             skips = [s + r.astype(s.dtype)
                      for s, r in zip(skips, down_res)]
             h = h + mid_res.astype(h.dtype)

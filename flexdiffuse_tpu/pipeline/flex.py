@@ -131,6 +131,7 @@ class FlexPipeline:
         unet_apply = unet.apply
         vae_apply = vae.apply
         latent_scale = self.latent_scale
+        latent_channels = self.latent_channels
 
         if sp_mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -155,14 +156,16 @@ class FlexPipeline:
             def noise_fn(lat, t, ctx, added=None):
                 control = None
                 if control_cond is not None:
-                    # ControlNet branch: same model input + conditioning
-                    # image (CFG rows share it); residuals land on the
-                    # UNet's skip states.
+                    # ControlNet branch: the control net sees only the noisy
+                    # latent channels (diffusers semantics) — a 9-channel
+                    # inpaint UNet's mask/masked-image extras are stripped —
+                    # plus the conditioning image (CFG rows share it).
                     cond = jnp.broadcast_to(
                         control_cond,
                         (lat.shape[0],) + control_cond.shape[1:])
-                    control = controlnet_apply(cn_params, lat, t, ctx, cond,
-                                               cn_scale)
+                    control = controlnet_apply(
+                        cn_params, lat[..., :latent_channels], t, ctx, cond,
+                        cn_scale)
                 return unet_apply(unet_params, lat, t, ctx, added, control)
 
             def body(carry, i):
@@ -308,9 +311,21 @@ class FlexPipeline:
             cond = jnp.asarray(control_image, jnp.float32)
             if cond.ndim == 3:
                 cond = cond[None]
+            # Resized to the generation resolution below, once the latent
+            # grid is known (diffusers resizes to (height, width) too).
             control_kw = dict(control_cond=cond,
                               cn_params=self.controlnet_params,
                               cn_scale=jnp.float32(controlnet_scale))
+
+        def fit_control(latents):
+            if control_kw:
+                cond = control_kw['control_cond']
+                hw = (latents.shape[1] * f, latents.shape[2] * f)
+                if cond.shape[1:3] != hw:
+                    control_kw['control_cond'] = jax.image.resize(
+                        cond, (cond.shape[0],) + hw + (cond.shape[-1],),
+                        method='bilinear')
+            return control_kw
 
         # Native inpainting checkpoints (9-channel UNets, e.g.
         # runwayml/stable-diffusion-inpainting): mask + masked-image latents
@@ -337,18 +352,32 @@ class FlexPipeline:
                                   latent_mask.shape[:3] +
                                   (masked_latents.shape[-1],))], axis=-1)
             guide = guide.replace(extra_channels=extra)
-            latents = jax.random.normal(
-                k_noise, (batch_size, hpix // f, wpix // f,
-                          self.latent_channels), jnp.float32)
-            if schedule.kind in schedulers.SIGMA_SPACE_KINDS:
-                latents = latents * schedule.sigmas[0]
+            if strength < 1.0:
+                # diffusers inpaint semantics: strength < 1 starts from the
+                # ORIGINAL image noised to the matching level (the extra
+                # channels still carry mask + masked-image conditioning).
+                key_e2 = jax.random.fold_in(k_enc, 1)
+                orig = self._encode(self.vae_params, pixels, key_e2)
+                orig = jnp.concatenate([orig] * batch_size)
+                init_timestep, t_start = schedulers.init_timestep_info(
+                    schedule, strength, steps)
+                noise = jax.random.normal(k_noise, orig.shape, jnp.float32)
+                latents = schedulers.add_noise(schedule, orig, noise,
+                                               init_timestep)
+            else:
+                t_start = 0
+                latents = jax.random.normal(
+                    k_noise, (batch_size, hpix // f, wpix // f,
+                              self.latent_channels), jnp.float32)
+                if schedule.kind in schedulers.SIGMA_SPACE_KINDS:
+                    latents = latents * schedule.sigmas[0]
             state0 = schedulers.init_state(schedule, latents.shape,
                                            latents.dtype)
             latents, all_latents = self._sample(
                 self.unet_params, schedule, state0, guide, latents,
-                jnp.int32(0), jnp.float32(eta), k_scan, debug=debug,
-                **control_kw)
-            return self._package(latents, all_latents, 0, debug,
+                jnp.int32(t_start), jnp.float32(eta), k_scan, debug=debug,
+                **fit_control(latents))
+            return self._package(latents, all_latents, t_start, debug,
                                  output_type, return_dict)
 
         if init_image is not None:
@@ -399,7 +428,7 @@ class FlexPipeline:
                                             mask=latent_mask,
                                             debug=debug,
                                             inpaint=mask is not None,
-                                            **control_kw)
+                                            **fit_control(latents))
 
         return self._package(latents, all_latents, t_start, debug,
                              output_type, return_dict)

@@ -98,6 +98,9 @@ class CLIPTokenizer:
         ids = list(range(base, base + num_vectors))
         self.added_tokens[name] = ids
         self._added_count += num_vectors
+        self._added_pattern = re.compile('(' + '|'.join(
+            re.escape(t)
+            for t in sorted(self.added_tokens, key=len, reverse=True)) + ')')
         return ids
 
     @classmethod
@@ -152,14 +155,8 @@ class CLIPTokenizer:
         """Text → BPE ids (no specials). Added tokens match literally
         before BPE."""
         text = _whitespace_clean(text).lower()
-        if self.added_tokens:
-            pattern = '(' + '|'.join(
-                re.escape(t)
-                for t in sorted(self.added_tokens, key=len, reverse=True)
-            ) + ')'
-            parts = re.split(pattern, text)
-        else:
-            parts = [text]
+        parts = (self._added_pattern.split(text)
+                 if self.added_tokens else [text])
         ids: List[int] = []
         for part in parts:
             if part in self.added_tokens:

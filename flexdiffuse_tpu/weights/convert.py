@@ -277,6 +277,10 @@ def convert_controlnet(sd: SD, config) -> dict:
         'time_embed_2': _dense(sd, 'time_embedding.linear_2'),
         'conv_in': _conv(sd, 'conv_in'),
     }
+    if config.addition_embed:
+        # SDXL controlnets carry the text_time addition embedding.
+        out['add_embed_1'] = _dense(sd, 'add_embedding.linear_1')
+        out['add_embed_2'] = _dense(sd, 'add_embedding.linear_2')
     ce = {'conv_in': _conv(sd, 'controlnet_cond_embedding.conv_in'),
           'conv_out': _conv(sd, 'controlnet_cond_embedding.conv_out')}
     i = 0

@@ -48,7 +48,21 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
     sd = torch.load(path, map_location='cpu', weights_only=True)
     if 'state_dict' in sd:
         sd = sd['state_dict']
-    return {k: v.float().numpy() for k, v in sd.items()}
+
+    # A1111 textual-inversion .pt files mix tensors with metadata (name,
+    # step, nested string_to_param dict) — flatten dicts, keep tensors,
+    # drop scalars/strings.
+    out = {}
+
+    def put(prefix, v):
+        if torch.is_tensor(v):
+            out[prefix] = v.float().numpy()
+        elif isinstance(v, dict):
+            for k, sub in v.items():
+                put(f'{prefix}.{k}' if prefix else str(k), sub)
+
+    put('', sd)
+    return out
 
 
 def _config_tag(*configs) -> str:

@@ -208,3 +208,24 @@ class TestInpaintingCheckpoint:
         init = np.zeros((1, 32, 32, 3), np.float32)
         with pytest.raises(ValueError, match='SimpleGuidance'):
             pipe(g, steps=2, init_image=init, mask=mask)
+
+    def test_nine_channel_strength(self):
+        """strength < 1 anchors to the noised original (diffusers inpaint
+        semantics); different strengths give different trajectories."""
+        from flexdiffuse_tpu.pipeline.guides import SimpleGuidance
+        pipe = self._pipe()
+        rng = np.random.default_rng(5)
+        g = SimpleGuidance(
+            embeddings=jnp.asarray(rng.normal(size=(1, 77, 32)),
+                                   jnp.float32),
+            uncond=jnp.asarray(rng.normal(size=(1, 77, 32)), jnp.float32),
+            guidance_scale=jnp.float32(7.5))
+        init = rng.uniform(-1, 1, size=(1, 32, 32, 3)).astype(np.float32)
+        mask = np.ones((32, 32), np.float32)
+        outs = {}
+        for s in (0.4, 1.0):
+            out = pipe(g, steps=4, init_image=init, mask=mask, strength=s,
+                       output_type='np', key=jax.random.PRNGKey(2))
+            assert np.isfinite(out.images).all()
+            outs[s] = out.images
+        assert np.abs(outs[0.4] - outs[1.0]).max() > 1e-6
