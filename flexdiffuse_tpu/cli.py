@@ -76,8 +76,9 @@ def _runner(args):
     if getattr(args, 'controlnet', None):
         runner.load_controlnet(args.controlnet)
     for spec in getattr(args, 'embedding', []):
+        # 'path:token' unless the whole spec is itself an existing file.
         path, _, tok = spec.rpartition(':')
-        if path and not tok.replace('.', '').isdigit():
+        if path and not os.path.exists(spec):
             runner.load_textual_inversion(path, token=tok)
         else:
             runner.load_textual_inversion(spec)

@@ -45,6 +45,14 @@ class CLIPEncoder:
             raise ValueError('clip_skip must be 0 or 1')
         self._output = 'penultimate_norm' if clip_skip else 'final'
 
+    def replace_text(self, text_model, text_params) -> None:
+        """Swap the text tower (e.g. after a textual-inversion vocabulary
+        extension); re-jits the apply for the new module."""
+        self._text_model = text_model
+        self._text_apply = jax.jit(text_model.apply,
+                                   static_argnames=('output',))
+        self._text_params = text_params
+
     def prompt(self, prompt: Union[str, List[str]]) -> Array:
         ids = jnp.asarray(self.tokenizer(prompt))
         return self._text_apply(self._text_params, ids, output=self._output)

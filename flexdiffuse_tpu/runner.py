@@ -156,12 +156,9 @@ class Runner:
         new_vocab = np.asarray(
             new_params['params']['token_embedding']['embedding']).shape[0]
         tm = enc._text_model
-        new_model = type(tm)(_dc.replace(tm.config, vocab_size=new_vocab),
-                             dtype=tm.dtype)
-        enc._text_model = new_model
-        enc._text_apply = jax.jit(new_model.apply,
-                                  static_argnames=('output',))
-        enc._text_params = new_params
+        enc.replace_text(
+            type(tm)(_dc.replace(tm.config, vocab_size=new_vocab),
+                     dtype=tm.dtype), new_params)
         log.info('textual inversion %r: %d vector(s) added', name,
                  table.shape[0])
 
@@ -183,6 +180,8 @@ class Runner:
             self.pipe.vae_params, scheduler=self.pipe.scheduler_kind,
             scheduler_config=self.pipe.scheduler_config,
             latent_scale=self.pipe.latent_scale,
+            sp_mesh=self.pipe.sp_mesh, sp_axis=self.pipe.sp_axis,
+            sp_min_seq=self.pipe.sp_min_seq,
             controlnet=model, controlnet_params=params)
         log.info('controlnet loaded from %s', path)
 
@@ -229,14 +228,11 @@ class Runner:
         for b in range(batches):
             stime = time.time()
             ms_time = int(stime * 1000)
-            extra = {}
-            if control_image is not None:
-                extra = dict(control_image=control_image,
-                             controlnet_scale=controlnet_scale)
             out = self.pipe(guidance, steps=steps, init_image=init_image,
                             init_size=init_size, strength=strength,
                             eta=self.eta, key=self._next_key(), debug=debug,
-                            mask=mask, **extra)
+                            mask=mask, control_image=control_image,
+                            controlnet_scale=controlnet_scale)
             images = out.images
             log.info('batch %d/%d: %d image(s) in %.2fs', b + 1, batches,
                      len(images), time.time() - stime)

@@ -85,6 +85,7 @@ class CLIPTokenizer:
         # Added tokens (textual inversion): literal name → id list (multi-
         # vector concepts expand to several consecutive embedding rows).
         self.added_tokens: Dict[str, List[int]] = {}
+        self._added_pattern = None
         self._added_count = 0
 
     def add_tokens(self, name: str, num_vectors: int = 1) -> List[int]:
