@@ -88,6 +88,7 @@ def test_compose_endpoint(ui):
         'entities': [['a bear', 0, 0, 32, 32, 0.8]]
     })
     assert len(out['images']) == 1
+    assert out['grid'] is not None
 
 
 def test_debug_sample_clamp(ui):
