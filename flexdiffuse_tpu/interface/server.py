@@ -91,7 +91,9 @@ def handle_generate(payload: dict) -> dict:
         seed=int(p.get('seed', 0)) or None,
         debug=debug,
         negative_prompt=p.get('negative_prompt', ''),
-        mask=_b64_to_pil(p.get('mask')))
+        mask=_b64_to_pil(p.get('mask')),
+        control_image=_b64_to_pil(p.get('control_image')),
+        controlnet_scale=float(p.get('controlnet_scale', 1.0)))
     # The reference sandbox shows the batch gallery incl. its grid
     # (interface/sandbox.py:181-185); surface the composite grid too.
     return {'images': [_pil_to_b64(i) for i in imgs],
@@ -150,6 +152,7 @@ table{border-collapse:collapse}td,th{border:1px solid #333;padding:4px}td input{
   <label class="wide">Negative prompt<textarea id="negative_prompt" rows="1"></textarea></label>
   <label>Initial image<input type="file" id="init_image"></label>
   <label>Inpaint mask (white = regenerate)<input type="file" id="mask"></label>
+  <label>Control image (needs --controlnet)<input type="file" id="control_image"></label>
   <label>Guide image<input type="file" id="guide_image"></label>
   <label>Guide text<input id="guide_text"></label>
   <label>Mapping concepts<input id="mapping_concepts"></label>
@@ -224,6 +227,7 @@ async function generate(){const body={};
   'max_guidance','header_max','height','width','guide_mode','reuse','debug'])body[k]=v(k);
  body.init_image=await file64('init_image');body.guide_image=await file64('guide_image');
  body.mask=await file64('mask');
+ body.control_image=await file64('control_image');
  post('/api/generate',body,'gallery')}
 async function compose(){const rows=[...document.querySelectorAll('#entities tr')].slice(1)
  .map(tr=>[...tr.querySelectorAll('input')].map(i=>i.value));
