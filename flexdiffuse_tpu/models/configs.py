@@ -63,6 +63,11 @@ class UNetConfig:
     addition_embed: bool = False
     addition_time_embed_dim: int = 256
     addition_pooled_dim: int = 1280
+    # IP-Adapter (decoupled image-prompt cross-attention): when true, every
+    # cross-attention layer owns extra to_k_ip/to_v_ip projections attending
+    # over `ip_tokens` projected image tokens.
+    ip_adapter: bool = False
+    ip_tokens: int = 4
 
     def depth_at(self, level: int) -> int:
         if isinstance(self.transformer_depth, int):

@@ -80,9 +80,15 @@ class CrossAttention(nn.Module):
     query_dim: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    # IP-Adapter decoupled image-prompt attention (cross-attention only):
+    # extra to_k_ip/to_v_ip projections attend over projected image tokens,
+    # added to the text-attention output scaled by ``ip_scale``.
+    ip_adapter: bool = False
 
     @nn.compact
-    def __call__(self, x: Array, context: Optional[Array]) -> Array:
+    def __call__(self, x: Array, context: Optional[Array],
+                 ip_ctx: Optional[Array] = None,
+                 ip_scale: Array = 1.0) -> Array:
         ctx = x if context is None else context.astype(self.dtype)
         d = self.query_dim
         h = self.num_heads
@@ -93,8 +99,18 @@ class CrossAttention(nn.Module):
         b, sq, _ = q.shape
         skv = k.shape[1]
         split = lambda t, s: t.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
-        out = attention(split(q, sq), split(k, skv), split(v, skv),
-                        scale=hd**-0.5)
+        qh = split(q, sq)
+        out = attention(qh, split(k, skv), split(v, skv), scale=hd**-0.5)
+        if self.ip_adapter and context is not None and ip_ctx is not None:
+            ip = ip_ctx.astype(self.dtype)
+            k_ip = nn.Dense(d, use_bias=False, name='to_k_ip',
+                            dtype=self.dtype)(ip)
+            v_ip = nn.Dense(d, use_bias=False, name='to_v_ip',
+                            dtype=self.dtype)(ip)
+            s_ip = ip.shape[1]
+            out_ip = attention(qh, split(k_ip, s_ip), split(v_ip, s_ip),
+                               scale=hd**-0.5)
+            out = out + jnp.asarray(ip_scale, out.dtype) * out_ip
         out = out.transpose(0, 2, 1, 3).reshape(b, sq, d)
         return nn.Dense(d, name='to_out', dtype=self.dtype)(out)
 
@@ -117,15 +133,20 @@ class BasicTransformerBlock(nn.Module):
     dim: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    ip_adapter: bool = False
 
     @nn.compact
-    def __call__(self, x: Array, context: Array) -> Array:
+    def __call__(self, x: Array, context: Array,
+                 ip_ctx: Optional[Array] = None,
+                 ip_scale: Array = 1.0) -> Array:
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, name=name,
                                        dtype=self.dtype)
         x = x + CrossAttention(self.dim, self.num_heads, name='attn1',
                                dtype=self.dtype)(ln('norm1')(x), None)
         x = x + CrossAttention(self.dim, self.num_heads, name='attn2',
-                               dtype=self.dtype)(ln('norm2')(x), context)
+                               dtype=self.dtype,
+                               ip_adapter=self.ip_adapter)(
+                                   ln('norm2')(x), context, ip_ctx, ip_scale)
         x = x + FeedForwardGEGLU(self.dim, name='ff',
                                  dtype=self.dtype)(ln('norm3')(x))
         return x
@@ -137,9 +158,12 @@ class Transformer2D(nn.Module):
     depth: int
     norm_groups: int
     dtype: jnp.dtype = jnp.float32
+    ip_adapter: bool = False
 
     @nn.compact
-    def __call__(self, x: Array, context: Array) -> Array:
+    def __call__(self, x: Array, context: Array,
+                 ip_ctx: Optional[Array] = None,
+                 ip_scale: Array = 1.0) -> Array:
         b, hh, ww, c = x.shape
         residual = x
         h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, name='norm',
@@ -150,7 +174,9 @@ class Transformer2D(nn.Module):
         for i in range(self.depth):
             h = BasicTransformerBlock(self.channels, self.num_heads,
                                       name=f'blocks_{i}',
-                                      dtype=self.dtype)(h, context)
+                                      dtype=self.dtype,
+                                      ip_adapter=self.ip_adapter)(
+                                          h, context, ip_ctx, ip_scale)
         h = h.reshape(b, hh, ww, c)
         h = nn.Conv(self.channels, (1, 1), name='proj_out',
                     dtype=self.dtype)(h)
@@ -210,7 +236,7 @@ def embed_timestep(cfg: UNetConfig, t: Array, added_cond, dtype) -> Array:
 
 
 def run_down_mid(cfg: UNetConfig, h: Array, temb: Array, context: Array,
-                 dtype, norm_dtype):
+                 dtype, norm_dtype, ip_ctx=None, ip_scale=1.0):
     """The UNet's down + mid path; returns ``(h_mid, skip_states)``.
 
     Shared verbatim (blocks AND names) between :class:`UNet2DCondition` and
@@ -227,7 +253,9 @@ def run_down_mid(cfg: UNetConfig, h: Array, temb: Array, context: Array,
             if cfg.attention_levels[i]:
                 h = Transformer2D(ch, cfg.heads_for(ch), cfg.depth_at(i),
                                   cfg.norm_groups, dtype=dtype,
-                                  name=f'down_{i}_attn_{j}')(h, context)
+                                  ip_adapter=cfg.ip_adapter,
+                                  name=f'down_{i}_attn_{j}')(
+                                      h, context, ip_ctx, ip_scale)
             skips.append(h)
         if i != num_levels - 1:
             h = Downsample(ch, dtype=dtype,
@@ -239,7 +267,8 @@ def run_down_mid(cfg: UNetConfig, h: Array, temb: Array, context: Array,
                     norm_dtype=norm_dtype, name='mid_res_0')(h, temb)
     h = Transformer2D(mid_ch, cfg.heads_for(mid_ch),
                       cfg.depth_at(num_levels - 1), cfg.norm_groups,
-                      dtype=dtype, name='mid_attn')(h, context)
+                      dtype=dtype, ip_adapter=cfg.ip_adapter,
+                      name='mid_attn')(h, context, ip_ctx, ip_scale)
     h = ResnetBlock(mid_ch, cfg.norm_groups, dtype=dtype,
                     norm_dtype=norm_dtype, name='mid_res_1')(h, temb)
     return h, skips
@@ -255,7 +284,8 @@ class UNet2DCondition(nn.Module):
 
     @nn.compact
     def __call__(self, latents: Array, t: Array, context: Array,
-                 added_cond=None, control=None) -> Array:
+                 added_cond=None, control=None, ip_ctx=None,
+                 ip_scale=1.0) -> Array:
         """``added_cond`` (SDXL text_time conditioning): dict with
         ``text_embeds [B, pooled_dim]`` and ``time_ids [B, 6]`` — pooled
         second-encoder embeddings plus size/crop micro-conditioning.
@@ -269,7 +299,7 @@ class UNet2DCondition(nn.Module):
         h = nn.Conv(cfg.block_channels[0], (3, 3), padding=1, name='conv_in',
                     dtype=self.dtype)(x)
         h, skips = run_down_mid(cfg, h, temb, context, self.dtype,
-                                self.norm_dtype)
+                                self.norm_dtype, ip_ctx, ip_scale)
         num_levels = len(cfg.block_channels)
 
         if control is not None:
@@ -294,7 +324,9 @@ class UNet2DCondition(nn.Module):
                     h = Transformer2D(ch, cfg.heads_for(ch),
                                       cfg.depth_at(level), cfg.norm_groups,
                                       dtype=self.dtype,
-                                      name=f'up_{i}_attn_{j}')(h, context)
+                                      ip_adapter=cfg.ip_adapter,
+                                      name=f'up_{i}_attn_{j}')(
+                                          h, context, ip_ctx, ip_scale)
             if i != num_levels - 1:
                 h = Upsample(ch, dtype=self.dtype,
                              name=f'up_{i}_upsample')(h)

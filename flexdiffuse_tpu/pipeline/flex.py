@@ -140,11 +140,12 @@ class FlexPipeline:
                 sp_mesh, PartitionSpec(None, sp_axis, None, None))
             base_unet_apply = unet_apply
 
-            def unet_apply(params, lat, t, ctx, added=None, control=None):
+            def unet_apply(params, lat, t, ctx, added=None, control=None,
+                           ip_ctx=None, ip_scale=1.0):
                 lat = jax.lax.with_sharding_constraint(lat, row_sharding)
                 with _attn_mod.sp_context(sp_mesh, sp_axis, sp_min_seq):
                     return base_unet_apply(params, lat, t, ctx, added,
-                                           control)
+                                           control, ip_ctx, ip_scale)
 
             self._sp_sharding = row_sharding
 
@@ -153,7 +154,7 @@ class FlexPipeline:
                     t_start, eta, key, init_latents=None, mask=None,
                     control_cond=None, cn_params=None, cn_scale=1.0,
                     debug=False, inpaint=False):
-            def noise_fn(lat, t, ctx, added=None):
+            def noise_fn(lat, t, ctx, added=None, ip=None):
                 control = None
                 if control_cond is not None:
                     # ControlNet branch: the control net sees only the noisy
@@ -166,7 +167,9 @@ class FlexPipeline:
                     control = controlnet_apply(
                         cn_params, lat[..., :latent_channels], t, ctx, cond,
                         cn_scale)
-                return unet_apply(unet_params, lat, t, ctx, added, control)
+                ip_ctx, ip_scale = ip if ip is not None else (None, 1.0)
+                return unet_apply(unet_params, lat, t, ctx, added, control,
+                                  ip_ctx, ip_scale)
 
             def body(carry, i):
                 lat, state, k = carry

@@ -27,7 +27,8 @@ from flax import struct
 
 Array = jax.Array
 
-# noise_fn(latents [N,h,w,4], t [N], context [N,T,D]) -> eps [N,h,w,4]
+# noise_fn(latents [N,h,w,4], t [N], context [N,T,D],
+#          added=None, ip=None) -> eps [N,h,w,4]
 NoiseFn = Callable[[Array, Array, Array], Array]
 
 
@@ -54,6 +55,11 @@ class SimpleGuidance(struct.PyTreeNode):
     # 1 = repaint) + masked-image latents (4ch), concatenated onto the UNet
     # input every step. None for standard 4-channel models.
     extra_channels: Optional[Array] = None
+    # IP-Adapter image-prompt tokens ([1 or B, N, D] projected image tokens;
+    # uncond rows use ``ip_uncond`` — conventionally image_proj(zeros)).
+    ip_tokens: Optional[Array] = None
+    ip_uncond: Optional[Array] = None
+    ip_scale: Array = 1.0
     cfg: bool = struct.field(pytree_node=False, default=True)
 
     @property
@@ -81,6 +87,17 @@ class SimpleGuidance(struct.PyTreeNode):
         return jnp.concatenate([latents, extra.astype(latents.dtype)],
                                axis=-1)
 
+    def _ip(self, b: int, with_uncond: bool):
+        if self.ip_tokens is None:
+            return None
+        shape = (b,) + self.ip_tokens.shape[1:]
+        cond = jnp.broadcast_to(self.ip_tokens, shape)
+        if with_uncond:
+            unc = (jnp.broadcast_to(self.ip_uncond, shape)
+                   if self.ip_uncond is not None else jnp.zeros(shape))
+            cond = jnp.concatenate([unc, cond])
+        return (cond, self.ip_scale)
+
     def noise_pred(self, noise_fn: NoiseFn, latents: Array, t: Array,
                    progress: Array = 0.0) -> Array:
         del progress
@@ -88,14 +105,14 @@ class SimpleGuidance(struct.PyTreeNode):
         if not self.cfg:
             return noise_fn(self._with_extra(latents),
                             jnp.broadcast_to(t, (b,)), self.embeddings,
-                            self._added(b, False))
+                            self._added(b, False), self._ip(b, False))
         ctx = jnp.concatenate(
             [jnp.broadcast_to(self.uncond,
                               self.embeddings.shape), self.embeddings])
         lat_in = self._with_extra(latents)
         lat2 = jnp.concatenate([lat_in, lat_in])
         eps = noise_fn(lat2, jnp.broadcast_to(t, (2 * b,)), ctx,
-                       self._added(2 * b, True))
+                       self._added(2 * b, True), self._ip(b, True))
         eps_u, eps_c = jnp.split(eps, 2)
         return eps_u + self.guidance_scale * (eps_c - eps_u)
 

@@ -163,6 +163,58 @@ class Runner:
                  table.shape[0])
 
     # ------------------------------------------------------------------
+    def load_ip_adapter(self, path: str) -> None:
+        """Load an official IP-Adapter checkpoint (decoupled image-prompt
+        attention, models/ip_adapter.py) and rebuild the pipeline with the
+        per-layer projections merged in. Generate with
+        ``gen(ip_embed=<CLIP image embedding>, ip_scale=...)`` — the
+        embedding must come from the image encoder the adapter was trained
+        with (OpenCLIP ViT-H pooled for the standard SD1.5 checkpoint)."""
+        import dataclasses as _dc
+        from flexdiffuse_tpu.models import UNet2DCondition
+        from flexdiffuse_tpu.models.ip_adapter import (ImageProjection,
+                                                       convert_ip_adapter,
+                                                       merge_ip_weights)
+        from flexdiffuse_tpu.weights import load as _load
+        sd = _load.load_state_dict(path)
+        old = self.pipe.unet
+        proj_p, layer_map = convert_ip_adapter(sd, old.config)
+        d_ctx = old.config.cross_attention_dim
+        tokens = proj_p['proj']['kernel'].shape[1] // d_ctx
+        cfg2 = _dc.replace(old.config, ip_adapter=True, ip_tokens=tokens)
+        new_unet = UNet2DCondition(cfg2, dtype=old.dtype)
+        new_params = merge_ip_weights(self.pipe.unet_params, layer_map)
+        self._ip_proj = ImageProjection(d_ctx, tokens, dtype=old.dtype)
+        self._ip_proj_params = {'params': proj_p}
+        self._ip_embed_dim = proj_p['proj']['kernel'].shape[0]
+        self.pipe = FlexPipeline(
+            new_unet, new_params, self.pipe.vae, self.pipe.vae_params,
+            scheduler=self.pipe.scheduler_kind,
+            scheduler_config=self.pipe.scheduler_config,
+            latent_scale=self.pipe.latent_scale,
+            sp_mesh=self.pipe.sp_mesh, sp_axis=self.pipe.sp_axis,
+            sp_min_seq=self.pipe.sp_min_seq,
+            controlnet=self.pipe.controlnet,
+            controlnet_params=self.pipe.controlnet_params)
+        log.info('ip-adapter loaded from %s (%d tokens, embed dim %d)',
+                 path, tokens, self._ip_embed_dim)
+
+    def _ip_fields(self, ip_embed, ip_scale: float) -> dict:
+        if ip_embed is None:
+            return {}
+        if not hasattr(self, '_ip_proj'):
+            raise ValueError('ip_embed given but no IP-Adapter is loaded '
+                             '(Runner.load_ip_adapter)')
+        emb = jnp.asarray(ip_embed, jnp.float32)
+        if emb.ndim == 1:
+            emb = emb[None]
+        tok = self._ip_proj.apply(self._ip_proj_params, emb)
+        unc = self._ip_proj.apply(self._ip_proj_params,
+                                  jnp.zeros_like(emb))
+        return dict(ip_tokens=tok, ip_uncond=unc,
+                    ip_scale=jnp.float32(ip_scale))
+
+    # ------------------------------------------------------------------
     def load_controlnet(self, path: str) -> None:
         """Load a diffusers ControlNet snapshot and rebuild the pipeline
         with the control branch attached (models/controlnet.py); pass
@@ -274,7 +326,9 @@ class Runner:
             negative_prompt: str = '',
             mask: Optional[Image.Image] = None,
             control_image: Optional[Image.Image] = None,
-            controlnet_scale: float = 1.0):
+            controlnet_scale: float = 1.0,
+            ip_embed=None,
+            ip_scale: float = 1.0):
         """Guided generation (reference ``Runner.gen`` utils.py:114-166).
 
         ``negative_prompt`` replaces the empty-string unconditional embedding
@@ -315,7 +369,8 @@ class Runner:
             embeddings=embeds,
             uncond=self.encoder.prompt(negative_prompt or ''),
             guidance_scale=jnp.float32(guidance_scale),
-            cfg=guidance_scale > 1.0)
+            cfg=guidance_scale > 1.0,
+            **self._ip_fields(ip_embed, ip_scale))
         with self.timer.phase('generate'):
             return self._run(samples, guidance, init_image, init_size,
                              strength, steps, debug, fp, save, mask=mask,
