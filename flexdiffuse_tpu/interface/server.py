@@ -153,6 +153,7 @@ table{border-collapse:collapse}td,th{border:1px solid #333;padding:4px}td input{
   <label>Initial image<input type="file" id="init_image"></label>
   <label>Inpaint mask (white = regenerate)<input type="file" id="mask"></label>
   <label>Control image (needs --controlnet)<input type="file" id="control_image"></label>
+  <label>Control scale<input id="controlnet_scale" type="number" step="0.05" value="1.0"></label>
   <label>Guide image<input type="file" id="guide_image"></label>
   <label>Guide text<input id="guide_text"></label>
   <label>Mapping concepts<input id="mapping_concepts"></label>
@@ -228,6 +229,7 @@ async function generate(){const body={};
  body.init_image=await file64('init_image');body.guide_image=await file64('guide_image');
  body.mask=await file64('mask');
  body.control_image=await file64('control_image');
+ body.controlnet_scale=document.getElementById('controlnet_scale').value;
  post('/api/generate',body,'gallery')}
 async function compose(){const rows=[...document.querySelectorAll('#entities tr')].slice(1)
  .map(tr=>[...tr.querySelectorAll('input')].map(i=>i.value));

@@ -2,7 +2,8 @@
 from flexdiffuse_tpu.models.clip import CLIPTextModel, CLIPVisionModel
 from flexdiffuse_tpu.models.configs import (CLIP_VIT_L14_TEXT,
                                             CLIP_VIT_L14_VISION,
-                                            OPENCLIP_H_TEXT, SD14_UNET,
+                                            OPENCLIP_H_TEXT,
+                                            OPENCLIP_H_VISION, SD14_UNET,
                                             SD14_VAE, SD21_UNET, SD21_VAE,
                                             TINY_TEXT, TINY_UNET, TINY_VAE,
                                             TINY_VISION, CLIPTextConfig,
@@ -18,5 +19,5 @@ __all__ = [
     'sample_latents', 'CLIPTextConfig', 'CLIPVisionConfig', 'UNetConfig',
     'VAEConfig', 'TINY_TEXT', 'TINY_VISION', 'TINY_UNET', 'TINY_VAE',
     'SD14_UNET', 'SD14_VAE', 'CLIP_VIT_L14_TEXT', 'CLIP_VIT_L14_VISION',
-    'SD21_UNET', 'SD21_VAE', 'OPENCLIP_H_TEXT'
+    'SD21_UNET', 'SD21_VAE', 'OPENCLIP_H_TEXT', 'OPENCLIP_H_VISION'
 ]

@@ -182,7 +182,11 @@ class CLIPVisionModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, pixels: Array) -> Array:
+    def __call__(self, pixels: Array, output: str = 'patches') -> Array:
+        """``output='patches'``: the reference's all-token post-LN +
+        projection path ``[B, 257, proj]``. ``output='pooled'``: the
+        standard CLS-pooled projected embedding ``[B, proj]`` (what
+        IP-Adapter's image encoder produces)."""
         cfg = self.config
         b = pixels.shape[0]
         patches = nn.Conv(cfg.hidden_size,
@@ -208,6 +212,7 @@ class CLIPVisionModel(nn.Module):
         # Reference quirk (encode/clip.py:96-100): post-LN + projection over
         # ALL tokens, not just the pooled class token.
         x = nn.LayerNorm(epsilon=1e-5, name='post_layernorm',
-                         dtype=self.dtype)(x)
+                         dtype=self.dtype)(x if output == 'patches'
+                                           else x[:, 0])
         return nn.Dense(cfg.projection_dim, use_bias=False,
                         name='visual_projection', dtype=self.dtype)(x)

@@ -146,3 +146,7 @@ SD21_VAE = VAEConfig()
 OPENCLIP_H_TEXT = CLIPTextConfig(hidden_size=1024, num_layers=23,
                                  num_heads=16, intermediate_size=4096,
                                  activation='gelu')
+# OpenCLIP ViT-H/14 vision tower (IP-Adapter's image encoder).
+OPENCLIP_H_VISION = CLIPVisionConfig(hidden_size=1280, num_layers=32,
+                                     num_heads=16, intermediate_size=5120,
+                                     projection_dim=1024)

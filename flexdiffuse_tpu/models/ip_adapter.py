@@ -84,8 +84,19 @@ def convert_ip_adapter(sd: Dict[str, np.ndarray], config: UNetConfig):
     ``(image_proj_params, {layer_path: {'to_k_ip': kernel, 'to_v_ip': ...}})``
     with kernels already in flax ``[in, out]`` layout.
     """
+    if 'image_proj.proj.weight' not in sd:
+        raise ValueError(
+            'unsupported IP-Adapter variant: no image_proj.proj.weight — '
+            'Plus/FaceID checkpoints use a perceiver Resampler image '
+            'projection, which is not implemented (base checkpoints only)')
+    proj_w = np.asarray(sd['image_proj.proj.weight'])
+    if proj_w.shape[0] % config.cross_attention_dim:
+        raise ValueError(
+            f'image_proj output dim {proj_w.shape[0]} is not a multiple of '
+            f'the UNet cross-attention dim {config.cross_attention_dim} — '
+            'adapter does not match this base model')
     proj = {
-        'proj': {'kernel': np.asarray(sd['image_proj.proj.weight']).T,
+        'proj': {'kernel': proj_w.T,
                  'bias': np.asarray(sd['image_proj.proj.bias'])},
         'norm': {'scale': np.asarray(sd['image_proj.norm.weight']),
                  'bias': np.asarray(sd['image_proj.norm.bias'])},

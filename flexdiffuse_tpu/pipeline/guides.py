@@ -29,7 +29,7 @@ Array = jax.Array
 
 # noise_fn(latents [N,h,w,4], t [N], context [N,T,D],
 #          added=None, ip=None) -> eps [N,h,w,4]
-NoiseFn = Callable[[Array, Array, Array], Array]
+NoiseFn = Callable[..., Array]
 
 
 class SimpleGuidance(struct.PyTreeNode):

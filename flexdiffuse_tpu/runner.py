@@ -163,13 +163,17 @@ class Runner:
                  table.shape[0])
 
     # ------------------------------------------------------------------
-    def load_ip_adapter(self, path: str) -> None:
+    def load_ip_adapter(self, path: str,
+                        image_encoder_dir: str = None) -> None:
         """Load an official IP-Adapter checkpoint (decoupled image-prompt
         attention, models/ip_adapter.py) and rebuild the pipeline with the
-        per-layer projections merged in. Generate with
-        ``gen(ip_embed=<CLIP image embedding>, ip_scale=...)`` — the
-        embedding must come from the image encoder the adapter was trained
-        with (OpenCLIP ViT-H pooled for the standard SD1.5 checkpoint)."""
+        per-layer projections merged in.
+
+        Generate with ``gen(ip_image=<PIL image>, ip_scale=...)`` when
+        ``image_encoder_dir`` points at the adapter's image-encoder snapshot
+        (OpenCLIP ViT-H for the standard SD1.5 checkpoint — CLS-pooled
+        projected embedding), or with a precomputed
+        ``gen(ip_embed=<[1, D] embedding>)``."""
         import dataclasses as _dc
         from flexdiffuse_tpu.models import UNet2DCondition
         from flexdiffuse_tpu.models.ip_adapter import (ImageProjection,
@@ -196,22 +200,45 @@ class Runner:
             sp_min_seq=self.pipe.sp_min_seq,
             controlnet=self.pipe.controlnet,
             controlnet_params=self.pipe.controlnet_params)
+        # The unconditional tokens are a constant of the adapter.
+        self._ip_uncond_tokens = self._ip_proj.apply(
+            self._ip_proj_params,
+            jnp.zeros((1, self._ip_embed_dim), jnp.float32))
+        self._ip_encoder = None
+        if image_encoder_dir:
+            from flexdiffuse_tpu.models import (OPENCLIP_H_VISION,
+                                                CLIPVisionModel)
+            from flexdiffuse_tpu.weights import convert as _convert
+            enc_sd = _load.load_state_dict(image_encoder_dir)
+            vcfg = OPENCLIP_H_VISION
+            vparams = {'params': _convert.convert_clip_vision(enc_sd, vcfg)}
+            vmodel = CLIPVisionModel(vcfg, dtype=old.dtype)
+            self._ip_encoder = (jax.jit(vmodel.apply,
+                                        static_argnames=('output',)),
+                                vparams)
         log.info('ip-adapter loaded from %s (%d tokens, embed dim %d)',
                  path, tokens, self._ip_embed_dim)
 
-    def _ip_fields(self, ip_embed, ip_scale: float) -> dict:
-        if ip_embed is None:
+    def _ip_fields(self, ip_embed, ip_image, ip_scale: float) -> dict:
+        if ip_embed is None and ip_image is None:
             return {}
         if not hasattr(self, '_ip_proj'):
-            raise ValueError('ip_embed given but no IP-Adapter is loaded '
-                             '(Runner.load_ip_adapter)')
+            raise ValueError('image prompt given but no IP-Adapter is '
+                             'loaded (Runner.load_ip_adapter)')
+        if ip_embed is None:
+            if self._ip_encoder is None:
+                raise ValueError(
+                    'ip_image requires load_ip_adapter(image_encoder_dir=…) '
+                    '— or pass a precomputed ip_embed')
+            from flexdiffuse_tpu.utils.image import clip_preprocess
+            apply, vparams = self._ip_encoder
+            ip_embed = apply(vparams, jnp.asarray(clip_preprocess(ip_image)),
+                             output='pooled')
         emb = jnp.asarray(ip_embed, jnp.float32)
         if emb.ndim == 1:
             emb = emb[None]
         tok = self._ip_proj.apply(self._ip_proj_params, emb)
-        unc = self._ip_proj.apply(self._ip_proj_params,
-                                  jnp.zeros_like(emb))
-        return dict(ip_tokens=tok, ip_uncond=unc,
+        return dict(ip_tokens=tok, ip_uncond=self._ip_uncond_tokens,
                     ip_scale=jnp.float32(ip_scale))
 
     # ------------------------------------------------------------------
@@ -328,6 +355,7 @@ class Runner:
             control_image: Optional[Image.Image] = None,
             controlnet_scale: float = 1.0,
             ip_embed=None,
+            ip_image: Optional[Image.Image] = None,
             ip_scale: float = 1.0):
         """Guided generation (reference ``Runner.gen`` utils.py:114-166).
 
@@ -370,7 +398,7 @@ class Runner:
             uncond=self.encoder.prompt(negative_prompt or ''),
             guidance_scale=jnp.float32(guidance_scale),
             cfg=guidance_scale > 1.0,
-            **self._ip_fields(ip_embed, ip_scale))
+            **self._ip_fields(ip_embed, ip_image, ip_scale))
         with self.timer.phase('generate'):
             return self._run(samples, guidance, init_image, init_size,
                              strength, steps, debug, fp, save, mask=mask,

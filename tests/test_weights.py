@@ -283,3 +283,24 @@ def test_full_vit_l14_geometry_parity(tower):
         assert got.shape == (1, 257, 768)   # reference encode/clip.py:96-100
     # Full depth accumulates more fp32 reorder drift than the tiny tower.
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_vision_pooled_output_parity(hf_clip):
+    """output='pooled' (IP-Adapter's image-encoder path) matches HF's
+    CLS-pooled projected image_embeds."""
+    model, sd = hf_clip
+    cfg = CLIPVisionConfig(hidden_size=40, num_layers=2, num_heads=4,
+                           image_size=32, patch_size=8, intermediate_size=80,
+                           projection_dim=24)
+    params = {'params': convert.convert_clip_vision(sd, cfg)}
+    flax_model = CLIPVisionModel(cfg)
+    rng = np.random.default_rng(4)
+    img = rng.normal(size=(1, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        out = model.vision_model(torch.tensor(img))
+        ref = model.visual_projection(out.pooler_output).numpy()
+    got = np.asarray(
+        flax_model.apply(params, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                         output='pooled'))
+    assert got.shape == (1, 24)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
