@@ -57,6 +57,32 @@ class CLIPEncoder:
         ids = jnp.asarray(self.tokenizer(prompt))
         return self._text_apply(self._text_params, ids, output=self._output)
 
+    def prompt_chunked(self, prompt: str, max_chunks: int = 3) -> Array:
+        """Long-prompt encoding (A1111 convention): token ids beyond the
+        75-content-token window split into BOS…EOS chunks, each encoded
+        separately, contexts concatenated → ``[1, 77·k, D]``.
+
+        ``k`` is padded up to the number of chunks the prompt needs (capped
+        at ``max_chunks``) — cross-attention accepts any context length.
+        Returns the plain 77-token encoding for short prompts.
+        """
+        tk = self.tokenizer
+        content = tk.encode(prompt)
+        window = tk.model_max_length - 2            # 75 content tokens
+        if len(content) <= window:
+            return self.prompt(prompt)
+        chunks = [content[i:i + window]
+                  for i in range(0, len(content), window)][:max_chunks]
+        rows = np.full((len(chunks), tk.model_max_length), tk.eos_token_id,
+                       np.int32)
+        for r, ch in enumerate(chunks):
+            rows[r, 0] = tk.bos_token_id
+            rows[r, 1:1 + len(ch)] = ch
+            rows[r, 1 + len(ch)] = tk.eos_token_id
+        enc = self._text_apply(self._text_params, jnp.asarray(rows),
+                               output=self._output)   # [k, 77, D]
+        return enc.reshape(1, -1, enc.shape[-1])
+
     def image(self, image) -> Array:
         if isinstance(image, np.ndarray) and image.ndim == 4:
             pixels = jnp.asarray(image)  # already preprocessed NHWC

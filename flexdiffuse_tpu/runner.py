@@ -356,7 +356,8 @@ class Runner:
             controlnet_scale: float = 1.0,
             ip_embed=None,
             ip_image: Optional[Image.Image] = None,
-            ip_scale: float = 1.0):
+            ip_scale: float = 1.0,
+            long_prompt: bool = False):
         """Guided generation (reference ``Runner.gen`` utils.py:114-166).
 
         ``negative_prompt`` replaces the empty-string unconditional embedding
@@ -390,12 +391,30 @@ class Runner:
                                 header_max=guide_header_max, mode=guide_mode,
                                 reuse=guide_reuse)
         with self.timer.phase('embeds'):
-            embeds = self.guide.embeds(prompt=prompt, guide=guide,
-                                       mapping_concepts=mapping_concepts,
-                                       params=params)
+            if long_prompt:
+                # A1111-style chunked encoding for >75-token prompts. The
+                # similarity-mapped guide tween is defined on the 77-token
+                # window, so the two modes are mutually exclusive.
+                if guide is not None:
+                    raise ValueError('long_prompt is incompatible with '
+                                     'guide images/text (the tween operates '
+                                     'on the 77-token window)')
+                if not isinstance(prompt, str):
+                    raise ValueError('long_prompt takes a single prompt')
+                embeds = self.encoder.prompt_chunked(prompt)
+            else:
+                embeds = self.guide.embeds(prompt=prompt, guide=guide,
+                                           mapping_concepts=mapping_concepts,
+                                           params=params)
+        uncond = self.encoder.prompt(negative_prompt or '')
+        if embeds.shape[1] != uncond.shape[1]:
+            # Chunked prompts: tile the unconditional row to the same
+            # context length (CFG rows must align).
+            k = embeds.shape[1] // uncond.shape[1]
+            uncond = jnp.tile(uncond, (1, k, 1))
         guidance = SimpleGuidance(
             embeddings=embeds,
-            uncond=self.encoder.prompt(negative_prompt or ''),
+            uncond=uncond,
             guidance_scale=jnp.float32(guidance_scale),
             cfg=guidance_scale > 1.0,
             **self._ip_fields(ip_embed, ip_image, ip_scale))

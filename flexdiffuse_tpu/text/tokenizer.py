@@ -199,6 +199,12 @@ class FakeTokenizer:
         self.bos_token_id = vocab_size - 2
         self.eos_token_id = vocab_size - 1
 
+    def encode(self, text: str):
+        """Content ids without specials (mirrors CLIPTokenizer.encode)."""
+        words = _whitespace_clean(text).lower().split()
+        return [2 + (zlib.crc32(w.encode()) % (self.vocab_size - 4))
+                for w in words]
+
     def __call__(self, prompts: Union[str, Sequence[str]],
                  max_length: int | None = None,
                  pad_id: int | None = None) -> np.ndarray:

@@ -174,3 +174,27 @@ def test_clip_skip_changes_conditioning():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         CLIPEncoder(text, tp, vision, vp, FakeTokenizer(), clip_skip=2)
+
+
+def test_long_prompt_chunked_encoding(tiny_runner):
+    """>75-token prompts encode in 77-token chunks, concatenated context
+    (A1111 convention); short prompts are unchanged."""
+    enc = tiny_runner.encoder
+    short = enc.prompt_chunked('a cat')
+    np.testing.assert_array_equal(np.asarray(short),
+                                  np.asarray(enc.prompt('a cat')))
+    long_text = ' '.join(['a cat sat'] * 40)   # ~120 content tokens
+    long = enc.prompt_chunked(long_text)
+    assert long.shape[0] == 1
+    assert long.shape[1] % short.shape[1] == 0
+    assert long.shape[1] > short.shape[1]
+
+    # End-to-end: the long context drives generation (uncond row tiled).
+    imgs, _ = tiny_runner.gen(prompt=long_text, long_prompt=True, steps=2,
+                              init_size=(32, 32), samples=1, seed=4,
+                              save=False)
+    assert len(imgs) == 1
+    import pytest
+    with pytest.raises(ValueError, match='incompatible'):
+        tiny_runner.gen(prompt=long_text, long_prompt=True, guide='a deer',
+                        steps=2, init_size=(32, 32), samples=1, save=False)
