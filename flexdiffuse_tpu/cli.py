@@ -44,6 +44,12 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument('--controlnet', default=None, metavar='PATH',
                    help='diffusers ControlNet snapshot; use with '
                         '--control-image on generate')
+    p.add_argument('--ip-adapter', default=None, metavar='PATH',
+                   help='IP-Adapter checkpoint; use with --ip-image on '
+                        'generate')
+    p.add_argument('--ip-encoder', default=None, metavar='DIR',
+                   help='the IP-Adapter image-encoder snapshot '
+                        '(OpenCLIP ViT-H for the SD1.5 adapter)')
 
 
 def _runner(args):
@@ -75,6 +81,10 @@ def _runner(args):
         runner.apply_lora(*parse_spec(spec))
     if getattr(args, 'controlnet', None):
         runner.load_controlnet(args.controlnet)
+    if getattr(args, 'ip_adapter', None):
+        runner.load_ip_adapter(args.ip_adapter,
+                               image_encoder_dir=getattr(args, 'ip_encoder',
+                                                         None))
     for spec in getattr(args, 'embedding', []):
         # 'path:token' unless the whole spec is itself an existing file.
         path, _, tok = spec.rpartition(':')
@@ -137,6 +147,8 @@ def cmd_generate(args) -> int:
     mask = Image.open(args.mask) if args.mask else None
     control = Image.open(args.control_image) if getattr(
         args, 'control_image', None) else None
+    ip_img = Image.open(args.ip_image) if getattr(
+        args, 'ip_image', None) else None
     imgs, grid = runner.gen(
         prompt=args.prompt, init_image=init, guide=guide,
         init_size=(args.height, args.width),
@@ -152,7 +164,9 @@ def cmd_generate(args) -> int:
         samples=args.samples, seed=args.seed, debug=args.debug,
         negative_prompt=args.negative_prompt, mask=mask,
         control_image=control,
-        controlnet_scale=getattr(args, 'controlnet_scale', 1.0))
+        controlnet_scale=getattr(args, 'controlnet_scale', 1.0),
+        ip_image=ip_img, ip_scale=getattr(args, 'ip_scale', 1.0),
+        long_prompt=getattr(args, 'long_prompt', False))
     print(f'{len(imgs)} image(s) written to {runner.output_dir}')
     return 0
 
@@ -213,6 +227,13 @@ def main(argv=None) -> int:
                    help='ControlNet conditioning image (requires '
                         '--controlnet)')
     p.add_argument('--controlnet-scale', type=float, default=1.0)
+    p.add_argument('--ip-image', default='',
+                   help='IP-Adapter image prompt (requires --ip-adapter '
+                        'with --ip-encoder)')
+    p.add_argument('--ip-scale', type=float, default=1.0)
+    p.add_argument('--long-prompt', action='store_true',
+                   help='chunked encoding for >75-token prompts (A1111 '
+                        'convention; incompatible with --guide)')
     p.add_argument('--concepts', default='')
     p.add_argument('--out', default='./outputs')
     p.add_argument('--height', type=int, default=512)
