@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import List, Union
 
+import logging
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -57,7 +59,7 @@ class CLIPEncoder:
         ids = jnp.asarray(self.tokenizer(prompt))
         return self._text_apply(self._text_params, ids, output=self._output)
 
-    def prompt_chunked(self, prompt: str, max_chunks: int = 3) -> Array:
+    def prompt_chunked(self, prompt: str, max_chunks: int = 8) -> Array:
         """Long-prompt encoding (A1111 convention): token ids beyond the
         75-content-token window split into BOS…EOS chunks, each encoded
         separately, contexts concatenated → ``[1, 77·k, D]``.
@@ -72,7 +74,13 @@ class CLIPEncoder:
         if len(content) <= window:
             return self.prompt(prompt)
         chunks = [content[i:i + window]
-                  for i in range(0, len(content), window)][:max_chunks]
+                  for i in range(0, len(content), window)]
+        if len(chunks) > max_chunks:
+            logging.getLogger(__name__).warning(
+                'prompt needs %d chunks; truncating to max_chunks=%d '
+                '(%d tokens dropped)', len(chunks), max_chunks,
+                len(content) - max_chunks * window)
+            chunks = chunks[:max_chunks]
         rows = np.full((len(chunks), tk.model_max_length), tk.eos_token_id,
                        np.int32)
         for r, ch in enumerate(chunks):

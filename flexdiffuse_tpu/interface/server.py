@@ -93,7 +93,10 @@ def handle_generate(payload: dict) -> dict:
         negative_prompt=p.get('negative_prompt', ''),
         mask=_b64_to_pil(p.get('mask')),
         control_image=_b64_to_pil(p.get('control_image')),
-        controlnet_scale=float(p.get('controlnet_scale', 1.0)))
+        controlnet_scale=float(p.get('controlnet_scale', 1.0)),
+        ip_image=_b64_to_pil(p.get('ip_image')),
+        ip_scale=float(p.get('ip_scale', 1.0)),
+        long_prompt=bool(p.get('long_prompt', False)))
     # The reference sandbox shows the batch gallery incl. its grid
     # (interface/sandbox.py:181-185); surface the composite grid too.
     return {'images': [_pil_to_b64(i) for i in imgs],
@@ -154,6 +157,9 @@ table{border-collapse:collapse}td,th{border:1px solid #333;padding:4px}td input{
   <label>Inpaint mask (white = regenerate)<input type="file" id="mask"></label>
   <label>Control image (needs --controlnet)<input type="file" id="control_image"></label>
   <label>Control scale<input id="controlnet_scale" type="number" step="0.05" value="1.0"></label>
+  <label>IP-Adapter image (needs --ip-adapter)<input type="file" id="ip_image"></label>
+  <label>IP scale<input id="ip_scale" type="number" step="0.05" value="1.0"></label>
+  <label>Long prompt (chunked &gt;75 tokens)<input id="long_prompt" type="checkbox"></label>
   <label>Guide image<input type="file" id="guide_image"></label>
   <label>Guide text<input id="guide_text"></label>
   <label>Mapping concepts<input id="mapping_concepts"></label>
@@ -230,6 +236,9 @@ async function generate(){const body={};
  body.mask=await file64('mask');
  body.control_image=await file64('control_image');
  body.controlnet_scale=document.getElementById('controlnet_scale').value;
+ body.ip_image=await file64('ip_image');
+ body.ip_scale=document.getElementById('ip_scale').value;
+ body.long_prompt=document.getElementById('long_prompt').checked;
  post('/api/generate',body,'gallery')}
 async function compose(){const rows=[...document.querySelectorAll('#entities tr')].slice(1)
  .map(tr=>[...tr.querySelectorAll('input')].map(i=>i.value));

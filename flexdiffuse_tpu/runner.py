@@ -395,7 +395,8 @@ class Runner:
                 # A1111-style chunked encoding for >75-token prompts. The
                 # similarity-mapped guide tween is defined on the 77-token
                 # window, so the two modes are mutually exclusive.
-                if guide is not None:
+                if guide is not None and (not isinstance(guide, str)
+                                          or guide.strip()):
                     raise ValueError('long_prompt is incompatible with '
                                      'guide images/text (the tween operates '
                                      'on the 77-token window)')
@@ -406,12 +407,20 @@ class Runner:
                 embeds = self.guide.embeds(prompt=prompt, guide=guide,
                                            mapping_concepts=mapping_concepts,
                                            params=params)
-        uncond = self.encoder.prompt(negative_prompt or '')
-        if embeds.shape[1] != uncond.shape[1]:
-            # Chunked prompts: tile the unconditional row to the same
-            # context length (CFG rows must align).
-            k = embeds.shape[1] // uncond.shape[1]
-            uncond = jnp.tile(uncond, (1, k, 1))
+        if long_prompt:
+            # The negative chunks independently (A1111 convention) and pads
+            # with empty-prompt windows up to the positive's chunk count.
+            uncond = self.encoder.prompt_chunked(negative_prompt or '')
+            win = self.encoder.tokenizer.model_max_length
+            k = embeds.shape[1] // win
+            k_u = uncond.shape[1] // win
+            if k_u > k:
+                uncond = uncond[:, :k * win]
+            elif k_u < k:
+                pad = jnp.tile(self.encoder.prompt(''), (1, k - k_u, 1))
+                uncond = jnp.concatenate([uncond, pad], axis=1)
+        else:
+            uncond = self.encoder.prompt(negative_prompt or '')
         guidance = SimpleGuidance(
             embeddings=embeds,
             uncond=uncond,

@@ -200,7 +200,9 @@ class FakeTokenizer:
         self.eos_token_id = vocab_size - 1
 
     def encode(self, text: str):
-        """Content ids without specials (mirrors CLIPTokenizer.encode)."""
+        """Content ids without specials (mirrors CLIPTokenizer.encode).
+        crc32, not hash(): Python's hash is salted per process and would
+        break cross-process determinism."""
         words = _whitespace_clean(text).lower().split()
         return [2 + (zlib.crc32(w.encode()) % (self.vocab_size - 4))
                 for w in words]
@@ -214,13 +216,7 @@ class FakeTokenizer:
         fill = self.eos_token_id if pad_id is None else pad_id
         out = np.full((len(prompts), max_length), fill, np.int32)
         for r, p in enumerate(prompts):
-            words = _whitespace_clean(p).lower().split()
-            # crc32, not hash(): Python's hash is salted per process and
-            # would break cross-process determinism.
-            ids = [self.bos_token_id] + [
-                2 + (zlib.crc32(w.encode()) % (self.vocab_size - 4))
-                for w in words
-            ]
+            ids = [self.bos_token_id] + self.encode(p)
             ids = ids[:max_length - 1] + [self.eos_token_id]
             out[r, :len(ids)] = ids
         return out
