@@ -90,7 +90,10 @@ def convert_clip_text(sd: SD, config: CLIPTextConfig) -> dict:
         'encoder': _clip_encoder(sd, f'{p}.encoder', config.num_layers),
         'final_layer_norm': _norm(sd, f'{p}.final_layer_norm'),
     }
-    if 'text_projection.weight' in sd:
+    if config.projection_dim:
+        # CLIPTextModelWithProjection (SDXL's second encoder): the pooled
+        # projection is part of the model; a checkpoint without it is
+        # mismatched, so index unconditionally rather than skip silently.
         out['text_projection'] = {
             'kernel': np.asarray(sd['text_projection.weight']).T
         }

@@ -83,6 +83,22 @@ def analyze(trace_dir: str, steps: int = 13) -> None:
         for k, ps in agg.most_common(15):
             print(f'  {ps/1e9:8.2f} ms {100*ps/total:5.1f}% '
                   f'{ps/1e9/steps:6.2f} ms/step  {k}')
+    # Per-op-name breakdown: which individual ops carry each bucket.
+    for line in plane.lines:
+        if 'XLA Ops' != line.name:
+            continue
+        by_name = collections.Counter()
+        counts = collections.Counter()
+        for ev in line.events:
+            name = meta.get(ev.metadata_id, '?')
+            if name.startswith('%while') or name.startswith('while'):
+                continue
+            by_name[name] += ev.duration_ps
+            counts[name] += 1
+        print('\ntop individual ops (exclusive, per ~%d steps):' % steps)
+        for k, ps in by_name.most_common(40):
+            print(f'  {ps/1e9:8.2f} ms  n={counts[k]:4d}  '
+                  f'{ps/1e9/steps:6.3f} ms/step  {k[:110]}')
 
 
 if __name__ == '__main__':
