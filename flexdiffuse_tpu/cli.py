@@ -233,7 +233,8 @@ def main(argv=None) -> int:
     p.add_argument('--ip-scale', type=float, default=1.0)
     p.add_argument('--long-prompt', action='store_true',
                    help='chunked encoding for >75-token prompts (A1111 '
-                        'convention; incompatible with --guide)')
+                        'convention; with --guide, the tween applies to the '
+                        'first 77-token window)')
     p.add_argument('--concepts', default='')
     p.add_argument('--out', default='./outputs')
     p.add_argument('--height', type=int, default=512)

@@ -39,6 +39,7 @@ class Guide:
                guide=None,
                mapping_concepts: str = '',
                params: Optional[GuidanceParams] = None,
+               text_embeddings=None,
                **overrides):
         """Build CLIP embeddings for the denoiser from text and/or a guide.
 
@@ -50,6 +51,10 @@ class Guide:
                 etc., matching :class:`GuidanceParams` fields) are applied on
                 top, so the reference's flat-kwarg call shape
                 (guidance.py:337-348) still works.
+            text_embeddings: optional pre-encoded ``[B, 77, D]`` prompt
+                window — used by the long-prompt path to tween the first
+                77-token window of a chunked encoding; ``prompt`` is ignored
+                for encoding (treated as present for control flow).
 
         Returns:
             ``[B, T, D]`` embeddings for the denoising pipeline.
@@ -72,13 +77,12 @@ class Guide:
                              f'or `list` but is {type(prompt)}')
         if isinstance(guide, str) and not guide.strip():
             guide = None  # blank guide text is no guide at all
-        if not prompt and guide is None:
+        if not prompt and guide is None and text_embeddings is None:
             raise ValueError('No prompt, or guide image provided.')
 
-        text_embeddings = None
         guide_embeddings = None
         concept_mapper: Optional[ConceptMapper] = None
-        if prompt:
+        if text_embeddings is None and prompt:
             text_embeddings = self.encoder.prompt(prompt)
         if guide is not None:
             if isinstance(guide, str):

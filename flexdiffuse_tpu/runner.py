@@ -393,16 +393,27 @@ class Runner:
         with self.timer.phase('embeds'):
             if long_prompt:
                 # A1111-style chunked encoding for >75-token prompts. The
-                # similarity-mapped guide tween is defined on the 77-token
-                # window, so the two modes are mutually exclusive.
-                if guide is not None and (not isinstance(guide, str)
-                                          or guide.strip()):
-                    raise ValueError('long_prompt is incompatible with '
-                                     'guide images/text (the tween operates '
-                                     'on the 77-token window)')
+                # similarity-mapped guide tween is defined on a 77-token
+                # window, so with a guide present it is applied to the
+                # *first* window (A1111-consistent per-window semantics:
+                # guidance binds to the prompt's head) and later chunks pass
+                # through untweened.
                 if not isinstance(prompt, str):
                     raise ValueError('long_prompt takes a single prompt')
                 embeds = self.encoder.prompt_chunked(prompt)
+                has_guide = guide is not None and (not isinstance(guide, str)
+                                                   or bool(guide.strip()))
+                if has_guide:
+                    win = self.encoder.tokenizer.model_max_length
+                    first = self.guide.embeds(
+                        prompt=prompt, guide=guide,
+                        mapping_concepts=mapping_concepts, params=params,
+                        text_embeddings=embeds[:, :win])
+                    if embeds.shape[1] > win:
+                        embeds = jnp.concatenate([first, embeds[:, win:]],
+                                                 axis=1)
+                    else:
+                        embeds = first
             else:
                 embeds = self.guide.embeds(prompt=prompt, guide=guide,
                                            mapping_concepts=mapping_concepts,

@@ -194,7 +194,40 @@ def test_long_prompt_chunked_encoding(tiny_runner):
                               init_size=(32, 32), samples=1, seed=4,
                               save=False)
     assert len(imgs) == 1
-    import pytest
-    with pytest.raises(ValueError, match='incompatible'):
-        tiny_runner.gen(prompt=long_text, long_prompt=True, guide='a deer',
-                        steps=2, init_size=(32, 32), samples=1, save=False)
+
+
+def test_long_prompt_with_guide_tween(tiny_runner):
+    """long_prompt × guide tween (VERDICT r2 task 6): the tween applies to
+    the first 77-token window; later chunks pass through untweened."""
+    enc = tiny_runner.encoder
+    long_text = ' '.join(['a cat sat'] * 40)
+    plain = np.asarray(enc.prompt_chunked(long_text), np.float32)
+    win = enc.tokenizer.model_max_length
+
+    captured = {}
+    orig = tiny_runner._run
+
+    def spy(samples, guidance, *a, **k):
+        captured['embeds'] = np.asarray(guidance.embeddings, np.float32)
+        return orig(samples, guidance, *a, **k)
+
+    tiny_runner._run = spy
+    try:
+        imgs, _ = tiny_runner.gen(prompt=long_text, long_prompt=True,
+                                  guide='a deer', steps=2,
+                                  init_size=(32, 32), samples=1, seed=4,
+                                  save=False)
+    finally:
+        del tiny_runner._run
+    assert len(imgs) == 1
+    emb = captured['embeds']
+    assert emb.shape == plain.shape
+    # first window tweened (differs), later windows untouched (identical)
+    assert np.abs(emb[:, :win] - plain[:, :win]).max() > 1e-5
+    np.testing.assert_array_equal(emb[:, win:], plain[:, win:])
+
+    # short prompt + guide under long_prompt behaves like the normal path
+    short, _ = tiny_runner.gen(prompt='a cat', long_prompt=True,
+                               guide='a deer', steps=2, init_size=(32, 32),
+                               samples=1, seed=4, save=False)
+    assert len(short) == 1
