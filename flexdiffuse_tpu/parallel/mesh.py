@@ -17,6 +17,18 @@ mesh"):
 PP/EP are intentionally absent: a 0.86B-param UNet fits one chip many times
 over, so pipeline/expert splits only add bubbles — DP×TP is the whole story
 for this model family.
+
+**DP vs TP, measured (round 3).** The uniform shard-last-dim TP rule pays a
+boundary collective per sharded contraction; at the real SD-1.4 geometry
+(bf16, CFG batch 2, 512²) the GSPMD plan for ``model=2`` contains 216
+all-gathers + 32 collective-permutes totaling **≈1.84 GB of ICI traffic per
+UNet forward** (pinned in tests/test_tp_collectives.py). At v5e ICI rates
+that traffic costs more than the entire single-chip step compute (~20 ms),
+so TP=2 *slows* SD1.x inference down. Recommendation: **scale with the data
+axis** (multi-seed/batch sweeps — zero in-loop traffic); reserve
+``model_parallel>1`` for models that do not fit one chip (it is correct and
+tested, just not profitable at this size), and use SP/ring attention (not
+TP) when a single ≥2048² image must span chips.
 """
 from __future__ import annotations
 
@@ -65,15 +77,20 @@ def _param_spec(path: Tuple, leaf: Array, tp: int) -> P:
     return P(*none, MODEL_AXIS)
 
 
+def param_shardings(params, mesh: Mesh):
+    """Tensor-parallel ``NamedSharding`` tree for a param pytree (leaves may
+    be arrays or ``ShapeDtypeStruct``s — used for data-free compile
+    checks)."""
+    tp = mesh.shape[MODEL_AXIS]
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _param_spec(path, leaf, tp)),
+        params)
+
+
 def shard_params(params, mesh: Mesh):
     """Place a param pytree on the mesh with tensor-parallel layout."""
-    tp = mesh.shape[MODEL_AXIS]
-
-    def place(path, leaf):
-        spec = _param_spec(path, leaf, tp)
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
-
-    return jax.tree_util.tree_map_with_path(place, params)
+    return jax.tree_util.tree_map(jax.device_put, params,
+                                  param_shardings(params, mesh))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
