@@ -7,9 +7,15 @@ Streams K/V blocks through VMEM with an online-softmax accumulator so the
 is a few hundred KiB of VMEM. Replaces the reference's attention-slicing
 memory knob (pipeline/flex.py:85-110) outright.
 
-Head dims in SD1.x are 40/80/160 — not lane-aligned; Mosaic pads the last
-dimension to 128 lanes transparently (correctness unaffected; the padding
-waste is still far cheaper than the HBM roundtrips it saves).
+Head dims in SD1.x are 40/80/160 — not lane-aligned. Round 2 drove the
+``[s, d]`` block layout to 97% of its lane-padding ceiling; round 3 removed
+the ceiling itself: the resident-K/V path now runs the **transposed-operand
+kernel** (``_flash_tt_kernel``, ``[d, s]`` blocks) whose P·V matmul puts the
+q block — not the 40-wide head dim padded to 128 — in the output lanes, and
+whose operand layout is byte-compatible with the seq-minor layouts XLA picks
+for the surrounding transformer ops (measured +3% whole-step,
+tools/flash_tt.py). The ``[s, d]`` streaming kernel remains for sequences
+whose K/V exceed VMEM.
 
 Run with ``interpret=True`` off-TPU (tests exercise it on CPU).
 """
@@ -25,60 +31,6 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 NEG_INF = -1e30
-
-
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int,
-                  unroll: int = 2):
-    # Matmul inputs stay in the model dtype (bf16 on TPU → native MXU path;
-    # an f32 upcast here costs a multi-pass MXU decomposition); accumulation
-    # and softmax statistics are fp32.
-    q = (q_ref[0] * jnp.asarray(scale, q_ref.dtype))    # [bq, d]
-    bq = q.shape[0]
-    d = q.shape[1]
-    skv = k_ref.shape[1]
-    num_kv = skv // block_k
-
-    def body(j, carry):
-        acc, m, l = carry
-        kb = k_ref[0, pl.ds(j * block_k, block_k), :]
-        vb = v_ref[0, pl.ds(j * block_k, block_k), :]
-        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        pv = jax.lax.dot_general(p.astype(vb.dtype), vb,
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        acc = acc * alpha + pv
-        return acc, m_new, l
-
-    acc = jnp.zeros((bq, d), jnp.float32)
-    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    carry = (acc, m0, l0)
-    # (Partially) unrolled KV loop, static trip count: QK(j+1) has no data
-    # dependency on block j's softmax/PV, so exposing several iterations'
-    # DAG lets Mosaic overlap the MXU matmuls with the VPU softmax of
-    # neighboring blocks — a fori_loop body is scheduled as one serialized
-    # region per iteration (+8.5% end-to-end, tools/flash_opt.py). Unrolled
-    # live ranges cost VMEM (full unroll at CFG batch ≥ 4 hit 19.7 MB > 16),
-    # so the dispatcher picks `unroll` by grid size.
-    unroll = min(unroll, num_kv)
-    while num_kv % unroll:
-        unroll -= 1
-    if num_kv == unroll:
-        for j in range(num_kv):
-            carry = body(j, carry)
-    else:
-        def outer(jj, carry):
-            for u in range(unroll):
-                carry = body(jj * unroll + u, carry)
-            return carry
-        carry = jax.lax.fori_loop(0, num_kv // unroll, outer, carry)
-    acc, m, l = carry
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
 def _flash_stream_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
@@ -114,10 +66,122 @@ def _flash_stream_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
         o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
-# Full-K/V-resident kernel cap: 2 tensors × 2 pipeline buffers × skv × 128
-# padded lanes × itemsize must leave VMEM room for q/o/acc blocks. Beyond
-# this the streaming kernel takes over (refetches K/V per q block — the
-# right trade at long sequence, impossible shapes for the XLA path anyway).
+def _flash_tt_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                     block_k: int, unroll: int = 2):
+    """Transposed-operand kernel: refs are ``[1, d, s]`` (head-dim in
+    sublanes, sequence in lanes).
+
+    Two structural wins over the ``[s, d]`` layout at SD's narrow heads
+    (d = 40/80):
+
+    * The P·V matmul contracts ``[d, bk] × [bk, bq]`` — output lanes are the
+      q-block (full 128-lane tiles), not the 40-wide head dim padded to 128.
+      MXU cycles per kv block drop from ``bq·bk/128`` to ``d·(bk/128)·
+      (bq/128)``: 3.2× fewer at d=40, escaping the lane-padding ceiling the
+      ``[s, d]`` layout is stuck at (docs/PERFORMANCE.md round 2).
+    * ``[b, h, d, s]`` row-major is byte-identical to the seq-minor
+      ``[b, s, h·d]{1,2,0}`` layout XLA prefers for the surrounding
+      transformer tensors, so the q/k/v relayout copies and the relayout
+      fused into the residual adds (~1 ms/step, profiled) become bitcasts.
+
+    Softmax statistics live as ``[1, bq]`` row vectors — no transposes
+    anywhere in the loop; scores are computed ``[bk, bq]`` so stat reduces
+    run across sublanes.
+    """
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)          # [d, bq]
+    d, bq = q.shape
+    skv = k_ref.shape[2]
+    num_kv = skv // block_k
+
+    def body(j, carry):
+        acc, m, l = carry                                   # [d,bq],[1,bq]×2
+        kb = k_ref[0, :, pl.ds(j * block_k, block_k)]       # [d, bk]
+        vb = v_ref[0, :, pl.ds(j * block_k, block_k)]
+        s = jax.lax.dot_general(kb, q, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [bk,bq]
+        m_new = jnp.maximum(m, jnp.max(s, axis=0, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+        pv = jax.lax.dot_general(vb, p.astype(vb.dtype),
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # [d,bq]
+        acc = acc * alpha + pv
+        return acc, m_new, l
+
+    acc = jnp.zeros((d, bq), jnp.float32)
+    m0 = jnp.full((1, bq), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((1, bq), jnp.float32)
+    carry = (acc, m0, l0)
+    unroll = min(unroll, num_kv)
+    while num_kv % unroll:
+        unroll -= 1
+    if num_kv == unroll:
+        for j in range(num_kv):
+            carry = body(j, carry)
+    else:
+        def outer(jj, carry):
+            for u in range(unroll):
+                carry = body(jj * unroll + u, carry)
+            return carry
+        carry = jax.lax.fori_loop(0, num_kv // unroll, outer, carry)
+    acc, m, l = carry
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('scale', 'block_q', 'block_k',
+                                    'interpret'))
+def flash_attention_tt(q: Array, k: Array, v: Array, scale: float,
+                       block_q: int = 512, block_k: int = 512,
+                       interpret: bool | None = None) -> Array:
+    """``[B, H, D, Sq] × [B, H, D, Skv] → [B, H, D, Sq]`` flash attention
+    over transposed (seq-minor) operands. See :func:`_flash_tt_kernel`."""
+    b, h, d, sq = q.shape
+    skv = k.shape[3]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, skv)
+    while block_q > 128 and sq % block_q:
+        block_q //= 2
+    while block_k > 128 and skv % block_k:
+        block_k //= 2
+    if sq % block_q or skv % block_k:
+        raise ValueError(f'sequence ({sq}, {skv}) not divisible by blocks '
+                         f'({block_q}, {block_k})')
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+
+    qf = q.reshape(b * h, d, sq)
+    kf = k.reshape(b * h, d, skv)
+    vf = v.reshape(b * h, d, skv)
+    kv_bytes = 4 * skv * max(d, 8) * jnp.dtype(k.dtype).itemsize
+    unroll = (skv // block_k
+              if b * h <= 16 and kv_bytes <= 4 * 1024 * 1024 else 2)
+    out = pl.pallas_call(
+        functools.partial(_flash_tt_kernel, scale=scale, block_k=block_k,
+                          unroll=unroll),
+        grid=(b * h, sq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, d, block_q), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, skv), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, skv), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, d, block_q), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, d, sq), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, h, d, sq)
+
+
+# Full-K/V-resident kernel cap: 2 tensors × 2 pipeline buffers × skv ×
+# sublane-rounded d × itemsize must leave VMEM room for q/o/acc blocks.
+# Beyond this the streaming kernel takes over (refetches K/V per q block —
+# the right trade at long sequence, impossible shapes for the XLA path
+# anyway).
 _FULL_KV_VMEM_BYTES = 8 * 1024 * 1024
 
 
@@ -156,39 +220,24 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float,
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
 
+    # Resident-K/V cutoff. In the transposed (tt) layout the K/V working set
+    # scales with the true head dim rounded to a sublane (not 128 padded
+    # lanes), so e.g. 1024²-image sequences (16384 tokens, d=40) stay
+    # resident where the [s, d] layout had to stream.
+    kv_bytes = 4 * skv * (-(-d // 8) * 8) * jnp.dtype(k.dtype).itemsize
+    if kv_bytes <= _FULL_KV_VMEM_BYTES:
+        out = flash_attention_tt(q.transpose(0, 1, 3, 2),
+                                 k.transpose(0, 1, 3, 2),
+                                 v.transpose(0, 1, 3, 2), scale,
+                                 block_q=min(block_q, 512),
+                                 block_k=min(block_k, 512),
+                                 interpret=interpret)
+        return out.transpose(0, 1, 3, 2)
+
     qf = q.reshape(b * h, sq, d)
     kf = k.reshape(b * h, skv, d)
     vf = v.reshape(b * h, skv, d)
-
-    # Unroll budget: the single-image CFG grid (b·h ≤ 16) at the standard
-    # 4096-token level takes the full unroll (fastest, measured); bigger
-    # grids or longer resident K/V make Mosaic's scheduler keep more
-    # unrolled score buffers live and blow scoped VMEM, so they get a
-    # window of 2 (still most of the overlap win — serving keeps its
-    # throughput from batching instead).
-    kv_bytes = 4 * skv * max(d, 128) * jnp.dtype(k.dtype).itemsize
-    unroll = (skv // block_k
-              if b * h <= 16 and kv_bytes <= 4 * 1024 * 1024 else 2)
-    if kv_bytes <= _FULL_KV_VMEM_BYTES:
-        out = pl.pallas_call(
-            functools.partial(_flash_kernel, scale=scale, block_k=block_k,
-                              unroll=unroll),
-            grid=(b * h, sq // block_q),
-            in_specs=[
-                pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, skv, d), lambda i, j: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, skv, d), lambda i, j: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
-            interpret=interpret,
-        )(qf, kf, vf)
-    else:
-        out = pl.pallas_call(
+    out = pl.pallas_call(
             functools.partial(_flash_stream_kernel, scale=scale),
             grid=(b * h, sq // block_q, skv // block_k),
             in_specs=[
