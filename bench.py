@@ -35,7 +35,7 @@ def _params_like(shapes):
         lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
 
 
-def _build(scheduler_steps: int = STEPS):
+def _build(scheduler_steps: int = STEPS, batch: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -44,11 +44,12 @@ def _build(scheduler_steps: int = STEPS):
 
     unet = UNet2DCondition(SD14_UNET, dtype=jnp.bfloat16)
     hw = IMAGE // 8
-    latents = jnp.zeros((1, hw, hw, 4), jnp.float32)
-    ctx = jnp.zeros((2, 77, 768), jnp.float32)  # uncond + cond
+    latents = jnp.zeros((batch, hw, hw, 4), jnp.float32)
+    ctx = jnp.zeros((2 * batch, 77, 768), jnp.float32)  # uncond + cond
     shapes = jax.eval_shape(
-        lambda k: unet.init(k, jnp.zeros((2, hw, hw, 4)), jnp.zeros((2,)),
-                            ctx), jax.random.PRNGKey(0))
+        lambda k: unet.init(k, jnp.zeros((2 * batch, hw, hw, 4)),
+                            jnp.zeros((2 * batch,)), ctx),
+        jax.random.PRNGKey(0))
     params = _params_like(shapes)
 
     schedule = schedulers.make('pndm', scheduler_steps)
@@ -59,7 +60,7 @@ def _build(scheduler_steps: int = STEPS):
         def body(carry, i):
             lat, state = carry
             lat2 = jnp.concatenate([lat, lat])
-            t = jnp.broadcast_to(schedule.timesteps[i], (2,))
+            t = jnp.broadcast_to(schedule.timesteps[i], (2 * batch,))
             eps = unet.apply(params, lat2, t, ctx)
             eps_u, eps_c = jnp.split(eps, 2)
             eps = eps_u + gs * (eps_c - eps_u)
@@ -120,6 +121,22 @@ def _build_e2e(sample, sample_args):
         return jnp.round(img * 255.0).astype(jnp.uint8)
 
     def one_image():
+        """Pipelined: encode→scan→decode dispatched back to back, ONE host
+        fetch at the end — the product path (runner dispatches everything
+        and fetches device-quantized u8); no device→host→device context
+        roundtrip."""
+        params, latents, state, _, gs = sample_args
+        t0 = time.perf_counter()
+        ctx = encode(clip_params, tokens).astype(jnp.float32)
+        lat = sample(params, latents, state, ctx, gs)
+        img = np.asarray(decode(vae_params, lat))
+        t1 = time.perf_counter()
+        assert img.shape == (1, IMAGE, IMAGE, 3)
+        return t1 - t0
+
+    def one_image_phased():
+        """Per-phase-synced variant for the breakdown (each phase forces a
+        fetch, so the sum exceeds the pipelined latency by relay RTTs)."""
         t0 = time.perf_counter()
         ctx = np.asarray(encode(clip_params, tokens))
         t1 = time.perf_counter()
@@ -130,11 +147,62 @@ def _build_e2e(sample, sample_args):
         t2 = time.perf_counter()
         img = np.asarray(decode(vae_params, lat))
         t3 = time.perf_counter()
-        assert img.shape == (1, IMAGE, IMAGE, 3)
-        return t3 - t0, (t1 - t0, t2 - t1, t3 - t2)
+        return (t1 - t0, t2 - t1, t3 - t2)
 
     one_image()  # compile everything
-    return one_image
+    one_image_phased()
+    return one_image, one_image_phased
+
+
+def _serving_batch4(rounds: int = 3):
+    """Batch-4 serving throughput: overlapped dispatch (every round's scan +
+    device u8 decode queued before any fetch) vs the serial fetch-per-round
+    loop the reference uses (utils.py:85-112)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flexdiffuse_tpu.models import SD14_VAE, AutoencoderKL
+
+    sample, args, length = _build(STEPS, batch=4)
+    vae = AutoencoderKL(SD14_VAE, dtype=jnp.bfloat16)
+    vae_shapes = jax.eval_shape(
+        lambda k: vae.init(k, jnp.zeros((1, IMAGE, IMAGE, 3)), k),
+        jax.random.PRNGKey(0))
+    vae_params = _params_like(vae_shapes)
+
+    @jax.jit
+    def decode(params, latents):
+        img = vae.apply(params, latents / 0.18215,
+                        method=AutoencoderKL.decode)
+        img = jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+        return jnp.round(img * 255.0).astype(jnp.uint8)
+
+    def round_out():
+        lat = sample(*args)
+        return decode(vae_params, lat)
+
+    _ = np.asarray(round_out())  # compile
+
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        _ = np.asarray(round_out())        # serial: fetch before next round
+    serial = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pending = [round_out() for _ in range(rounds)]  # all rounds queued
+    for p in pending:
+        _ = np.asarray(p)
+    overlapped = time.perf_counter() - t0
+
+    per_image_factor = (STEPS + 1) / STEPS  # 25-step gen ≈ 26 scan steps
+    imgs = 4 * rounds
+    return {
+        'images_per_min': round(60.0 * imgs / (overlapped * per_image_factor),
+                                1),
+        'serial_images_per_min': round(
+            60.0 * imgs / (serial * per_image_factor), 1),
+    }
 
 
 def main() -> None:
@@ -146,10 +214,12 @@ def main() -> None:
         sample, args, length = _build()
         flash_sps, flash_t = _time(sample, args, length)
 
-        one_image = _build_e2e(sample, args)
+        one_image, one_image_phased = _build_e2e(sample, args)
         runs = [one_image() for _ in range(7)]
-        p50 = float(np.median([r[0] for r in runs]))
-        phase = np.median(np.array([r[1] for r in runs]), axis=0)
+        p50 = float(np.median(runs))
+        phase = np.median(np.array([one_image_phased() for _ in range(5)]),
+                          axis=0)
+        serving = _serving_batch4()
 
     with attention.backend('xla'):
         sample_xla, args_xla, _ = _build()
@@ -159,15 +229,24 @@ def main() -> None:
         'metric': ('sd1.4 512x512 CFG denoise-loop steps/sec/chip '
                    f'(bf16, PLMS, {STEPS}-step scan)'),
         'value': round(flash_sps, 3),
-        'unit': 'steps/sec',
+        # vs_baseline compares THIS FRAMEWORK's Pallas flash-attention path
+        # against its own fused-XLA attention path on the same chip — the
+        # reference publishes no performance numbers at all (BASELINE.md),
+        # so there is no cross-framework baseline to quote.
         'vs_baseline': round(flash_sps / xla_sps, 3),
+        'vs_baseline_is': 'flash vs fused-XLA attention, same framework',
+        'unit': 'steps/sec',
         'e2e_p50_latency_s': round(p50, 4),
         'images_per_min_e2e': round(60.0 / p50, 2),
+        # Phase numbers are measured with per-phase host syncs; clip/decode
+        # phases are dominated by the axon relay RTT (~25-80 ms/dispatch) in
+        # this environment, so their sum exceeds the pipelined p50.
         'phase_ms': {
             'clip_encode': round(float(phase[0]) * 1e3, 2),
             'denoise_scan': round(float(phase[1]) * 1e3, 2),
             'vae_decode_fetch': round(float(phase[2]) * 1e3, 2),
         },
+        'serving_batch4': serving,
     }))
 
 

@@ -31,9 +31,13 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument('--v-prediction', action='store_true',
                    help='v-parameterized model (use with --model-family sd2 '
                         'for SD2.1 768-v checkpoints)')
-    p.add_argument('--model-family', default='sd1', choices=('sd1', 'sd2'),
+    p.add_argument('--model-family', default='sd1',
+                   choices=('sd1', 'sd2', 'sdxl'),
                    help='checkpoint geometry: sd1 = SD1.x + CLIP ViT-L/14, '
-                        'sd2 = SD2.x + OpenCLIP ViT-H')
+                        'sd2 = SD2.x + OpenCLIP ViT-H, sdxl = SDXL-base '
+                        '(dual text encoders, 1024²; expects a '
+                        'stable-diffusion-xl-base-1.0 snapshot under '
+                        '--models)')
     p.add_argument('--lora', action='append', default=[], metavar='PATH[:S]',
                    help='merge a kohya-format LoRA (optional :scale, '
                         'repeatable)')
@@ -52,9 +56,31 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
                         '(OpenCLIP ViT-H for the SD1.5 adapter)')
 
 
+def _sdxl_runner(args):
+    from flexdiffuse_tpu.sdxl_runner import SDXLRunner
+    from flexdiffuse_tpu.weights.lora import parse_spec
+    for flag in ('controlnet', 'ip_adapter', 'embedding'):
+        if getattr(args, flag, None):
+            raise SystemExit(f'--{flag.replace("_", "-")} is not supported '
+                             'with --model-family sdxl (SD1.x only)')
+    root = os.path.join(args.models, 'stable-diffusion-xl-base-1.0')
+    if not os.path.isdir(root):
+        root = args.models  # --models may point straight at the snapshot
+    clip = os.path.join(args.models, 'clip-vit-large-patch14')
+    runner = SDXLRunner(root,
+                        clip_root=clip if os.path.isdir(clip) else None,
+                        scheduler=args.scheduler,
+                        output_dir=getattr(args, 'out', './outputs'))
+    for spec in getattr(args, 'lora', []):
+        runner.apply_lora(*parse_spec(spec))
+    return runner
+
+
 def _runner(args):
     from flexdiffuse_tpu.config import RunConfig
     from flexdiffuse_tpu.runner import Runner
+    if getattr(args, 'model_family', 'sd1') == 'sdxl':
+        return _sdxl_runner(args)
     scheduler_config = None
     if getattr(args, 'karras', False) or getattr(args, 'v_prediction', False):
         from flexdiffuse_tpu.schedulers import SchedulerConfig

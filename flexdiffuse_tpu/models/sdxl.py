@@ -62,6 +62,13 @@ class SDXLTextEncoder:
         """Context-only convenience (matches the CLIPEncoder contract)."""
         return self.encode(prompt)[0]
 
+    def encode_l(self, prompt: Union[str, List[str]]) -> Array:
+        """Encoder-1 (CLIP-L) penultimate states only ``[B, 77, 768]`` —
+        the space text *guides* tween in (the bigG half has no comparable
+        guide embedding)."""
+        ids1 = jnp.asarray(self.tokenizer(prompt))
+        return self._apply1(self._p1, ids1, output='penultimate')
+
 
 def time_ids(original_size: Tuple[int, int] = (1024, 1024),
              crop: Tuple[int, int] = (0, 0),
@@ -159,14 +166,17 @@ def tween_sdxl_context(tweener, ctx: Array, patch_embeddings: Array,
         ])
     else:
         blended = tweener.tween(l_half, patch_embeddings)
-    return ctx.at[..., :l_dim].set(blended)
+    return ctx.at[..., :l_dim].set(blended.astype(ctx.dtype))
 
 
-def load_sdxl(model_dir: str, dtype=jnp.bfloat16):
+def load_sdxl(model_dir: str, dtype=jnp.bfloat16, unet_config=SDXL_UNET,
+              vae_config=SDXL_VAE, te1_config=CLIP_VIT_L14_TEXT,
+              te2_config=OPENCLIP_BIGG_TEXT):
     """Load an ``stable-diffusion-xl-base-1.0`` snapshot dir.
 
     Returns ``(unet, unet_params, vae, vae_params, text_encoder)`` ready for
-    ``FlexPipeline(..., latent_scale=SDXL_LATENT_SCALE)``.
+    ``FlexPipeline(..., latent_scale=SDXL_LATENT_SCALE)``. Config overrides
+    exist for tiny-geometry end-to-end tests of this exact loading path.
     """
     from flexdiffuse_tpu.models.unet import UNet2DCondition
     from flexdiffuse_tpu.models.vae import AutoencoderKL
@@ -178,15 +188,15 @@ def load_sdxl(model_dir: str, dtype=jnp.bfloat16):
     te1_sd = wload.load_state_dict(os.path.join(model_dir, 'text_encoder'))
     te2_sd = wload.load_state_dict(os.path.join(model_dir, 'text_encoder_2'))
 
-    unet = UNet2DCondition(SDXL_UNET, dtype=dtype)
-    vae = AutoencoderKL(SDXL_VAE, dtype=dtype)
-    enc1 = CLIPTextModel(CLIP_VIT_L14_TEXT, dtype=dtype)
-    enc2 = CLIPTextModel(OPENCLIP_BIGG_TEXT, dtype=dtype)
+    unet = UNet2DCondition(unet_config, dtype=dtype)
+    vae = AutoencoderKL(vae_config, dtype=dtype)
+    enc1 = CLIPTextModel(te1_config, dtype=dtype)
+    enc2 = CLIPTextModel(te2_config, dtype=dtype)
     tokenizer = CLIPTokenizer.from_dir(model_dir)
 
-    unet_params = {'params': convert.convert_unet(unet_sd, SDXL_UNET)}
-    vae_params = {'params': convert.convert_vae(vae_sd, SDXL_VAE)}
-    p1 = {'params': convert.convert_clip_text(te1_sd, CLIP_VIT_L14_TEXT)}
-    p2 = {'params': convert.convert_clip_text(te2_sd, OPENCLIP_BIGG_TEXT)}
+    unet_params = {'params': convert.convert_unet(unet_sd, unet_config)}
+    vae_params = {'params': convert.convert_vae(vae_sd, vae_config)}
+    p1 = {'params': convert.convert_clip_text(te1_sd, te1_config)}
+    p2 = {'params': convert.convert_clip_text(te2_sd, te2_config)}
     text_encoder = SDXLTextEncoder(enc1, p1, enc2, p2, tokenizer)
     return unet, unet_params, vae, vae_params, text_encoder

@@ -256,14 +256,26 @@ class FlexPipeline:
     def latents_to_images(self, latents: Array,
                           pil: bool = True) -> Union[np.ndarray, list]:
         """VAE-decode latents to [0,1] images (reference flex.py:112-124)."""
+        if pil:
+            return to_pil(np.asarray(self.decode_u8_device(latents)))
+        if self.sp_mesh is not None:
+            latents = jax.device_put(latents, self._sp_sharding)
+        return np.asarray(self._decode(self.vae_params, latents))
+
+    def decode_u8_device(self, latents: Array) -> Array:
+        """VAE decode + uint8 quantize, left ON DEVICE (no host fetch).
+
+        The serving-overlap path: the runner dispatches every batch's scan +
+        decode through this before fetching any of them, so batch N's
+        device→host transfer and PIL/save work overlap batch N+1's denoise
+        scan on the XLA runtime's async queue (the reference's serial loop —
+        utils.py:85-112 — pays scan+decode+fetch end to end per batch).
+        """
         if self.sp_mesh is not None:
             # Row-sharded decode: GSPMD propagates the input sharding through
             # the (purely convolutional + one mid-attention) decoder.
             latents = jax.device_put(latents, self._sp_sharding)
-        if pil:
-            return to_pil(np.asarray(self._decode_u8(self.vae_params,
-                                                     latents)))
-        return np.asarray(self._decode(self.vae_params, latents))
+        return self._decode_u8(self.vae_params, latents)
 
     def __call__(self,
                  guide: Guidance,
@@ -454,6 +466,10 @@ class FlexPipeline:
                 ]
             else:
                 images = np.concatenate(batches, axis=0)
+        elif output_type == 'device_u8':
+            # Quantized device array, fetch deferred to the caller (the
+            # overlapped serving path; see decode_u8_device).
+            images = self.decode_u8_device(latents)
         else:
             images = self.latents_to_images(latents,
                                             pil=(output_type == 'pil'))
@@ -461,5 +477,4 @@ class FlexPipeline:
         if not return_dict:
             return (images, False)
         return FlexPipelineOutput(images=images,
-                                  nsfw_content_detected=[False
-                                                         for _ in images])
+                                  nsfw_content_detected=[False] * len(images))

@@ -38,7 +38,7 @@ from flexdiffuse_tpu.models import (AutoencoderKL, CLIPTextModel,
                                     CLIPVisionModel, SD14_UNET, SD14_VAE,
                                     UNet2DCondition, configs)
 from flexdiffuse_tpu.pipeline import FlexPipeline, SimpleGuidance
-from flexdiffuse_tpu.utils.image import image_grid
+from flexdiffuse_tpu.utils.image import image_grid, to_pil
 
 log = logging.getLogger(__name__)
 
@@ -300,10 +300,19 @@ class Runner:
              controlnet_scale: float = 1.0
              ) -> Tuple[List[Image.Image], Image.Image]:
         """Multi-batch sweep (reference ``_run`` utils.py:85-112): one
-        compiled executable, new PRNG key per batch."""
+        compiled executable, new PRNG key per batch.
+
+        Non-debug batches are *pipelined*: every batch's scan + device-side
+        u8 decode is dispatched before any result is fetched, so batch N's
+        device→host transfer + PIL encode + disk write overlap batch N+1's
+        denoise on the XLA async queue (the reference's loop is fully
+        serial). Debug mode (per-step latent decode, host-side) keeps the
+        serial path.
+        """
         all_images: List[Image.Image] = []
         if save:
             os.makedirs(self.grid_dir, exist_ok=True)
+        dispatched = []
         for b in range(batches):
             stime = time.time()
             ms_time = int(stime * 1000)
@@ -311,15 +320,18 @@ class Runner:
                             init_size=init_size, strength=strength,
                             eta=self.eta, key=self._next_key(), debug=debug,
                             mask=mask, control_image=control_image,
-                            controlnet_scale=controlnet_scale)
-            images = out.images
-            log.info('batch %d/%d: %d image(s) in %.2fs', b + 1, batches,
-                     len(images), time.time() - stime)
-            if save:
-                for i, img in enumerate(images):
-                    img.save(
-                        f'{self.output_dir}/{ms_time:>013d}_{i:>02d}_{fp}.png',
-                        format='png')
+                            controlnet_scale=controlnet_scale,
+                            output_type='pil' if debug else 'device_u8')
+            if debug:
+                images = self._finish_batch(b, batches, out.images, stime,
+                                            ms_time, fp, save)
+                all_images.extend(images)
+            else:
+                dispatched.append((stime, ms_time, out.images))
+        for b, (stime, ms_time, device_u8) in enumerate(dispatched):
+            images = to_pil(np.asarray(device_u8))
+            images = self._finish_batch(b, batches, images, stime, ms_time,
+                                        fp, save)
             all_images.extend(images)
         grid = image_grid(all_images)
         if save:
@@ -327,6 +339,16 @@ class Runner:
             grid.save(f'{self.grid_dir}/{ms_time:>013d}_{fp}.png',
                       format='png')
         return all_images, grid
+
+    def _finish_batch(self, b, batches, images, stime, ms_time, fp, save):
+        log.info('batch %d/%d: %d image(s) in %.2fs', b + 1, batches,
+                 len(images), time.time() - stime)
+        if save:
+            for i, img in enumerate(images):
+                img.save(
+                    f'{self.output_dir}/{ms_time:>013d}_{i:>02d}_{fp}.png',
+                    format='png')
+        return images
 
     # ------------------------------------------------------------------
     def gen(self,

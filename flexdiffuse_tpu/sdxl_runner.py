@@ -36,10 +36,15 @@ log = logging.getLogger(__name__)
 class SDXLRunner:
     def __init__(self, model_root: str, clip_root: Optional[str] = None,
                  scheduler: str = 'dpmpp', dtype=jnp.bfloat16,
-                 output_dir: str = './outputs') -> None:
+                 output_dir: str = './outputs', **load_kwargs) -> None:
         unet, unet_params, vae, vae_params, text = load_sdxl(
-            model_root, dtype=dtype)
+            model_root, dtype=dtype, **load_kwargs)
         self.text = text
+        # Width of the encoder-1 (CLIP-L) slice of the context — the half
+        # image/text guides tween with.
+        from flexdiffuse_tpu.models.configs import CLIP_VIT_L14_TEXT
+        self._l_dim = load_kwargs.get('te1_config',
+                                      CLIP_VIT_L14_TEXT).hidden_size
         self.pipe = FlexPipeline(unet, unet_params, vae, vae_params,
                                  scheduler=scheduler,
                                  latent_scale=SDXL_LATENT_SCALE)
@@ -71,6 +76,13 @@ class SDXLRunner:
         self.text._p2 = te2_p
 
     # ------------------------------------------------------------------
+    def compose(self, *args, **kwargs):
+        """Regional composition is SD1.x-only (the reference's composition
+        mode predates SDXL); the web UI's Compose tab surfaces this error."""
+        raise ValueError('composition is not supported for the SDXL family '
+                         '(use --model-family sd1)')
+
+    # ------------------------------------------------------------------
     def _set_seed(self, seed: Optional[int]) -> None:
         seed = clamp_seed(seed)
         if seed is None:
@@ -84,11 +96,27 @@ class SDXLRunner:
         return apply(params, jnp.asarray(clip_preprocess(guide)))
 
     # ------------------------------------------------------------------
+    # Runner.gen keyword surface (cli.py / interface/server.py call shape)
+    # → GuidanceParams fields; lets the SDXL family sit behind the same
+    # product entries as SD1.x (--model-family sdxl, web UI).
+    _GP_FIELDS = {
+        'guide_threshold_mult': 'threshold_mult',
+        'guide_threshold_floor': 'threshold_floor',
+        'guide_clustered': 'clustered',
+        'guide_linear': 'linear',
+        'guide_max_guidance': 'max_guidance',
+        'guide_header_max': 'header_max',
+        'guide_mode': 'mode',
+        'guide_reuse': 'reuse',
+    }
+    _UNSUPPORTED = ('mask', 'control_image', 'ip_image', 'ip_embed',
+                    'mapping_concepts', 'long_prompt')
+
     def gen(self,
             prompt: Union[str, List[str]] = '',
             negative_prompt: str = '',
-            guide: Optional[Image.Image] = None,
-            guidance_params: GuidanceParams = GuidanceParams.ui_defaults(),
+            guide: Union[Image.Image, str, None] = None,
+            guidance_params: Optional[GuidanceParams] = None,
             init_image: Optional[Image.Image] = None,
             init_size: Tuple[int, int] = (1024, 1024),
             strength: float = 0.6,
@@ -96,15 +124,49 @@ class SDXLRunner:
             guidance_scale: float = 5.0,
             samples: int = 1,
             seed: Optional[int] = None,
-            save: bool = True):
-        """SDXL generation with optional FlexDiffuse image guidance."""
+            save: bool = True,
+            debug: bool = False,
+            **ui_kwargs):
+        """SDXL generation with optional FlexDiffuse image guidance.
+
+        Accepts the SD1.x ``Runner.gen`` keyword surface: ``guide_*``
+        parameters build the :class:`GuidanceParams`; features SDXL does
+        not support yet (inpainting mask, ControlNet, IP-Adapter, concept
+        mapping, long prompts) raise a clear error instead of being
+        silently dropped. A text ``guide`` tweens with the CLIP-L half of
+        the context like an image guide does for SD1.x text guides."""
+        if guidance_params is None:
+            gp_kw = {
+                self._GP_FIELDS[k]: (tuple(v) if k == 'guide_linear' else v)
+                for k, v in ui_kwargs.items() if k in self._GP_FIELDS
+            }
+            guidance_params = (GuidanceParams(**gp_kw)
+                               if gp_kw else GuidanceParams.ui_defaults())
+        for k in self._UNSUPPORTED:
+            if ui_kwargs.get(k):
+                raise ValueError(f'{k} is not supported for the SDXL '
+                                 'family yet (SD1.x only)')
+        ui_kwargs.pop('controlnet_scale', None)
+        ui_kwargs.pop('ip_scale', None)
+        unknown = set(ui_kwargs) - set(self._GP_FIELDS) - set(
+            self._UNSUPPORTED)
+        if unknown:
+            raise TypeError(f'unknown gen() arguments: {sorted(unknown)}')
         self._set_seed(seed)
         g = sdxl_guidance(self.text, prompt, negative_prompt,
                           guidance_scale, size=init_size)
+        if isinstance(guide, str) and not guide.strip():
+            guide = None
         if guide is not None:
-            patches = self._patches(guide)
+            if isinstance(guide, str):
+                # Text guide: tween with the guide text's CLIP-L states
+                # (same space as the context's 768-d half).
+                alt = self.text.encode_l(guide)[0]
+            else:
+                alt = self._patches(guide)
             tweener = Tweener(guidance_params)
-            ctx = tween_sdxl_context(tweener, g.embeddings, patches)
+            ctx = tween_sdxl_context(tweener, g.embeddings, alt,
+                                     l_dim=self._l_dim)
             g = g.replace(embeddings=ctx)
 
         fp = (f'{"xli2i" if init_image is not None else "xlt2i"}'

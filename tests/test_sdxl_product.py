@@ -1,0 +1,208 @@
+"""SDXL as product surface (VERDICT r2 task 5): disk loading through the
+real ``load_sdxl`` path from a manifest-synthesized snapshot, the
+``Runner.gen``-compatible keyword surface, CLI wiring for
+``--model-family sdxl``, and the web UI serving an SDXL runner."""
+import json
+import os
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flexdiffuse_tpu.models.configs import (CLIPTextConfig, UNetConfig,
+                                            VAEConfig)
+
+from tests import checkpoint_manifests as man
+
+pytest.importorskip('safetensors')
+
+TINY_XL_UNET = UNetConfig(block_channels=(32, 64), layers_per_block=1,
+                          attention_levels=(False, True),
+                          transformer_depth=(0, 2), head_dim=16,
+                          cross_attention_dim=48, norm_groups=8,
+                          addition_embed=True, addition_pooled_dim=24)
+TINY_XL_VAE = VAEConfig(block_channels=(32, 32), layers_per_block=1,
+                        norm_groups=8)
+
+
+def _mini_bpe_files(dst):
+    vocab = {}
+    for c in 'abcdefghijklmnopqrstuvwxyz0123456789{}!?.,':
+        vocab[c] = len(vocab)
+        vocab[c + '</w>'] = len(vocab)
+    vocab['<|startoftext|>'] = len(vocab)
+    vocab['<|endoftext|>'] = len(vocab)
+    os.makedirs(dst, exist_ok=True)
+    with open(os.path.join(dst, 'vocab.json'), 'w') as f:
+        json.dump(vocab, f)
+    with open(os.path.join(dst, 'merges.txt'), 'w') as f:
+        f.write('#version: 0.2\n')
+    return len(vocab)
+
+
+@pytest.fixture(scope='module')
+def xl_snapshot(tmp_path_factory):
+    """Tiny SDXL snapshot in real layout, synthesized from the manifest
+    generators (same key schemas as the real checkpoint, tiny shapes)."""
+    from safetensors.numpy import save_file
+
+    root = tmp_path_factory.mktemp('sdxl-snap')
+    vocab = _mini_bpe_files(str(root / 'tokenizer'))
+    rng = np.random.default_rng(7)
+
+    def synth(manifest):
+        return {
+            k: (rng.standard_normal(s) * 0.02).astype(np.float32)
+            for k, s in manifest.items()
+        }
+
+    unet_man = man.unet_manifest(
+        blocks=TINY_XL_UNET.block_channels,
+        layers_per_block=1, attention=(False, True), depths=(0, 2),
+        context=48, linear_proj=True, addition_embed=True,
+        addition_pooled_dim=24,
+        addition_time_embed_dim=TINY_XL_UNET.addition_time_embed_dim)
+    vae_man = man.vae_manifest(blocks=(32, 32), layers_per_block=1,
+                               modern_attn=True)
+    te1_man = man.clip_text_manifest(hidden=24, layers=2, inter=48,
+                                     vocab=vocab, projection_dim=0)
+    te2_man = man.clip_text_manifest(hidden=24, layers=2, inter=48,
+                                     vocab=vocab, projection_dim=24)
+    for sub, manifest, name in (
+            ('unet', unet_man, 'diffusion_pytorch_model.safetensors'),
+            ('vae', vae_man, 'diffusion_pytorch_model.safetensors'),
+            ('text_encoder', te1_man, 'model.safetensors'),
+            ('text_encoder_2', te2_man, 'model.safetensors')):
+        os.makedirs(root / sub, exist_ok=True)
+        save_file(synth(manifest), str(root / sub / name))
+    return str(root), vocab
+
+
+def _te_cfgs(vocab):
+    te1 = CLIPTextConfig(vocab_size=vocab, hidden_size=24, num_layers=2,
+                         num_heads=4, intermediate_size=48,
+                         eos_token_id=vocab - 1)
+    te2 = CLIPTextConfig(vocab_size=vocab, hidden_size=24, num_layers=2,
+                         num_heads=4, intermediate_size=48,
+                         activation='gelu', projection_dim=24,
+                         eos_token_id=vocab - 1)
+    return te1, te2
+
+
+@pytest.fixture(scope='module')
+def xl_runner(xl_snapshot, tmp_path_factory):
+    from flexdiffuse_tpu.sdxl_runner import SDXLRunner
+    root, vocab = xl_snapshot
+    te1, te2 = _te_cfgs(vocab)
+    out = str(tmp_path_factory.mktemp('xl_out'))
+    return SDXLRunner(root, scheduler='dpmpp', output_dir=out,
+                      unet_config=TINY_XL_UNET, vae_config=TINY_XL_VAE,
+                      te1_config=te1, te2_config=te2)
+
+
+def test_sdxl_disk_gen_end_to_end(xl_runner):
+    imgs, grid = xl_runner.gen(prompt='a deer', steps=2,
+                               init_size=(64, 64), samples=1, seed=3,
+                               save=False)
+    assert len(imgs) == 1
+    assert imgs[0].size == (64, 64)
+    assert grid is not None
+
+
+def test_sdxl_runner_ui_kwarg_surface(xl_runner):
+    """The Runner.gen keyword shape the CLI/web UI use must work, with the
+    guide_* params reaching the tween."""
+    imgs, _ = xl_runner.gen(
+        prompt='a deer', guide='a tiger', init_size=(64, 64),
+        guide_threshold_mult=0.25, guide_threshold_floor=0.75,
+        guide_clustered=0.15, guide_linear=(0.1, 0.5),
+        guide_max_guidance=0.35, guide_header_max=0.0, guide_mode=1,
+        guide_reuse=True, mapping_concepts='', strength=0.6, steps=2,
+        guidance_scale=5.0, samples=1, seed=3, save=False,
+        negative_prompt='blurry', mask=None, control_image=None,
+        controlnet_scale=1.0, ip_image=None, ip_scale=1.0,
+        long_prompt=False)
+    assert len(imgs) == 1
+    # A guide must actually change the conditioning → different image.
+    plain, _ = xl_runner.gen(prompt='a deer', init_size=(64, 64), steps=2,
+                             samples=1, seed=3, save=False)
+    assert np.abs(
+        np.asarray(imgs[0], np.int16) -
+        np.asarray(plain[0], np.int16)).max() > 0
+
+
+@pytest.mark.parametrize('kw', ['mask', 'control_image', 'ip_image',
+                                'mapping_concepts', 'long_prompt'])
+def test_sdxl_unsupported_features_raise(xl_runner, kw):
+    with pytest.raises(ValueError, match='not supported'):
+        xl_runner.gen(prompt='a deer', steps=1, save=False, **{kw: 'x'})
+
+
+def test_cli_model_family_sdxl_wiring(xl_snapshot, monkeypatch, tmp_path):
+    """`generate --model-family sdxl` builds an SDXLRunner and forwards the
+    generation args; incompatible flags exit with a clear message."""
+    from flexdiffuse_tpu import cli
+
+    calls = {}
+
+    class FakeXL:
+        output_dir = str(tmp_path)
+
+        def __init__(self, root, clip_root=None, scheduler='dpmpp',
+                     output_dir='./outputs'):
+            calls['init'] = dict(root=root, clip_root=clip_root,
+                                 scheduler=scheduler)
+
+        def gen(self, **kw):
+            calls['gen'] = kw
+            from PIL import Image
+            img = Image.new('RGB', (8, 8))
+            return [img], img
+
+    import flexdiffuse_tpu.sdxl_runner as sr
+    monkeypatch.setattr(sr, 'SDXLRunner', FakeXL)
+    root, _ = xl_snapshot
+    rc = cli.main(['generate', '--model-family', 'sdxl', '--models', root,
+                   '--prompt', 'a deer', '--steps', '2', '--height', '64',
+                   '--width', '64', '--scheduler', 'dpmpp'])
+    assert rc == 0
+    assert calls['init']['root'] == root  # --models pointing at the snapshot
+    assert calls['gen']['prompt'] == 'a deer'
+    assert calls['gen']['steps'] == 2
+
+    with pytest.raises(SystemExit, match='sdxl'):
+        cli.main(['generate', '--model-family', 'sdxl', '--models', root,
+                  '--controlnet', '/nope', '--prompt', 'x'])
+
+
+def test_ui_serves_sdxl_runner(xl_runner):
+    """The web UI over a real HTTP roundtrip with an SDXL runner behind it:
+    generate works, compose surfaces the SD1.x-only error as JSON 500."""
+    from flexdiffuse_tpu.interface import server as ui_server
+    ui_server._runner = None
+    httpd = ui_server.launch(lambda: xl_runner, lan=False, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f'http://127.0.0.1:{port}'
+        payload = {'prompt': 'a deer', 'steps': 2, 'samples': 1,
+                   'height': 64, 'width': 64, 'seed': 5}
+        req = urllib.request.Request(
+            url + '/api/generate', json.dumps(payload).encode(),
+            {'Content-Type': 'application/json'})
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert out['images']
+        req = urllib.request.Request(
+            url + '/api/compose', json.dumps({'bg_prompt': 'x'}).encode(),
+            {'Content-Type': 'application/json'})
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 500
+    finally:
+        httpd.shutdown()
