@@ -82,6 +82,19 @@ class CLIPTokenizer:
         self.eos_token_id = self.encoder['<|endoftext|>']
         self.model_max_length = MODEL_MAX_LENGTH
         self._cache: Dict[str, List[str]] = {}
+        # Native merge-loop fast path (flexdiffuse_tpu/native/bpe.py): C++
+        # behind ctypes, releases the GIL, falls back to the Python loop
+        # below on any build/runtime failure.
+        self._native = None
+        from .. import native as _native_pkg
+        if not _native_pkg.disabled():
+            try:
+                from ..native.bpe import NativeBPE
+                self._native = NativeBPE(self.encoder, self.bpe_ranks)
+            except Exception as e:  # no compiler / build error — degrade
+                import logging
+                logging.getLogger(__name__).info(
+                    'native BPE unavailable (%s); using pure Python', e)
         # Added tokens (textual inversion): literal name → id list (multi-
         # vector concepts expand to several consecutive embedding rows).
         self.added_tokens: Dict[str, List[int]] = {}
@@ -163,7 +176,14 @@ class CLIPTokenizer:
             if part in self.added_tokens:
                 ids.extend(self.added_tokens[part])
                 continue
-            for tok in _PAT.findall(part):
+            words = _PAT.findall(part)
+            if self._native is not None:
+                try:
+                    ids.extend(self._native.encode_words(words))
+                    continue
+                except KeyError:
+                    pass  # out-of-vocab symbol — Python path raises exactly
+            for tok in words:
                 tok = ''.join(self.byte_encoder[b]
                               for b in tok.encode('utf-8'))
                 ids.extend(self.encoder[t] for t in self._bpe(tok))
