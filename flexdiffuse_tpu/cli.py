@@ -54,12 +54,26 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument('--ip-encoder', default=None, metavar='DIR',
                    help='the IP-Adapter image-encoder snapshot '
                         '(OpenCLIP ViT-H for the SD1.5 adapter)')
+    p.add_argument('--ip-encoder-arch', default='vit-h',
+                   choices=('vit-h', 'bigg'),
+                   help='image-encoder tower for --ip-encoder with '
+                        '--model-family sdxl (the original '
+                        'ip-adapter_sdxl.bin uses the bigG tower; _vit-h '
+                        'checkpoints use ViT-H)')
+    p.add_argument('--refiner', default=None, metavar='DIR',
+                   help='SDXL refiner snapshot '
+                        '(stable-diffusion-xl-refiner-1.0); enables the '
+                        'two-stage base->refiner flow for --model-family '
+                        'sdxl')
+    p.add_argument('--refine-strength', type=float, default=0.3,
+                   help='refiner img2img strength (fraction of the noise '
+                        'schedule the refiner re-denoises; 0 disables)')
 
 
 def _sdxl_runner(args):
     from flexdiffuse_tpu.sdxl_runner import SDXLRunner
     from flexdiffuse_tpu.weights.lora import parse_spec
-    for flag in ('controlnet', 'ip_adapter', 'embedding'):
+    for flag in ('controlnet', 'embedding'):
         if getattr(args, flag, None):
             raise SystemExit(f'--{flag.replace("_", "-")} is not supported '
                              'with --model-family sdxl (SD1.x only)')
@@ -70,9 +84,15 @@ def _sdxl_runner(args):
     runner = SDXLRunner(root,
                         clip_root=clip if os.path.isdir(clip) else None,
                         scheduler=args.scheduler,
-                        output_dir=getattr(args, 'out', './outputs'))
+                        output_dir=getattr(args, 'out', './outputs'),
+                        refiner_root=getattr(args, 'refiner', None))
     for spec in getattr(args, 'lora', []):
         runner.apply_lora(*parse_spec(spec))
+    if getattr(args, 'ip_adapter', None):
+        runner.load_ip_adapter(args.ip_adapter,
+                               getattr(args, 'ip_encoder', None),
+                               encoder=getattr(args, 'ip_encoder_arch',
+                                               'vit-h'))
     return runner
 
 
@@ -192,7 +212,9 @@ def cmd_generate(args) -> int:
         control_image=control,
         controlnet_scale=getattr(args, 'controlnet_scale', 1.0),
         ip_image=ip_img, ip_scale=getattr(args, 'ip_scale', 1.0),
-        long_prompt=getattr(args, 'long_prompt', False))
+        long_prompt=getattr(args, 'long_prompt', False),
+        **({'refine_strength': getattr(args, 'refine_strength', 0.3)}
+           if getattr(args, 'model_family', 'sd1') == 'sdxl' else {}))
     print(f'{len(imgs)} image(s) written to {runner.output_dir}')
     return 0
 

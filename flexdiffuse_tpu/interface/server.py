@@ -96,7 +96,11 @@ def handle_generate(payload: dict) -> dict:
         controlnet_scale=float(p.get('controlnet_scale', 1.0)),
         ip_image=_b64_to_pil(p.get('ip_image')),
         ip_scale=float(p.get('ip_scale', 1.0)),
-        long_prompt=bool(p.get('long_prompt', False)))
+        long_prompt=bool(p.get('long_prompt', False)),
+        # SDXL-family only (base->refiner two-stage); forwarded only when a
+        # client sends it so SD1.x runners never see the kwarg.
+        **({'refine_strength': float(p['refine_strength'])}
+           if 'refine_strength' in p else {}))
     # The reference sandbox shows the batch gallery incl. its grid
     # (interface/sandbox.py:181-185); surface the composite grid too.
     return {'images': [_pil_to_b64(i) for i in imgs],

@@ -3,8 +3,12 @@ from flexdiffuse_tpu.models.clip import CLIPTextModel, CLIPVisionModel
 from flexdiffuse_tpu.models.configs import (CLIP_VIT_L14_TEXT,
                                             CLIP_VIT_L14_VISION,
                                             OPENCLIP_H_TEXT,
+                                            OPENCLIP_BIGG_VISION,
                                             OPENCLIP_H_VISION, SD14_UNET,
                                             SD14_VAE, SD21_UNET, SD21_VAE,
+                                            SDXL_REFINER_UNET, SDXL_UNET,
+                                            SDXL_VAE, TINY_REFINER_UNET,
+                                            TINY_SDXL_UNET,
                                             TINY_TEXT, TINY_UNET, TINY_VAE,
                                             TINY_VISION, CLIPTextConfig,
                                             CLIPVisionConfig, UNetConfig,
@@ -19,5 +23,7 @@ __all__ = [
     'sample_latents', 'CLIPTextConfig', 'CLIPVisionConfig', 'UNetConfig',
     'VAEConfig', 'TINY_TEXT', 'TINY_VISION', 'TINY_UNET', 'TINY_VAE',
     'SD14_UNET', 'SD14_VAE', 'CLIP_VIT_L14_TEXT', 'CLIP_VIT_L14_VISION',
-    'SD21_UNET', 'SD21_VAE', 'OPENCLIP_H_TEXT', 'OPENCLIP_H_VISION'
+    'SD21_UNET', 'SD21_VAE', 'OPENCLIP_H_TEXT', 'OPENCLIP_H_VISION',
+    'SDXL_UNET', 'SDXL_VAE', 'SDXL_REFINER_UNET', 'TINY_SDXL_UNET',
+    'TINY_REFINER_UNET', 'OPENCLIP_BIGG_VISION'
 ]

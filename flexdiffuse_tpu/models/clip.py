@@ -185,8 +185,11 @@ class CLIPVisionModel(nn.Module):
     def __call__(self, pixels: Array, output: str = 'patches') -> Array:
         """``output='patches'``: the reference's all-token post-LN +
         projection path ``[B, 257, proj]``. ``output='pooled'``: the
-        standard CLS-pooled projected embedding ``[B, proj]`` (what
-        IP-Adapter's image encoder produces)."""
+        standard CLS-pooled projected embedding ``[B, proj]`` (what the
+        base IP-Adapter's image encoder produces). ``output='penultimate'``:
+        the second-to-last layer's hidden states ``[B, 1+P, hidden]``, no
+        post-LN/projection (HF ``hidden_states[-2]`` — what IP-Adapter
+        Plus feeds its perceiver Resampler)."""
         cfg = self.config
         b = pixels.shape[0]
         patches = nn.Conv(cfg.hidden_size,
@@ -207,8 +210,13 @@ class CLIPVisionModel(nn.Module):
         # in the weight converter.
         x = nn.LayerNorm(epsilon=1e-5, name='pre_layernorm',
                          dtype=self.dtype)(x)
-        x = CLIPEncoder(cfg.hidden_size, cfg.num_layers, cfg.num_heads,
-                        cfg.intermediate_size, name='encoder')(x, None)
+        encoder = CLIPEncoder(cfg.hidden_size, cfg.num_layers,
+                              cfg.num_heads, cfg.intermediate_size,
+                              name='encoder')
+        if output == 'penultimate':
+            _, tapped = encoder(x, None, stop_at=1)
+            return tapped
+        x = encoder(x, None)
         # Reference quirk (encode/clip.py:96-100): post-LN + projection over
         # ALL tokens, not just the pooled class token.
         x = nn.LayerNorm(epsilon=1e-5, name='post_layernorm',

@@ -58,11 +58,19 @@ class UNetConfig:
     norm_groups: int = 32
     # Transformer depth per level (int → same at every level). SDXL: (0,2,10).
     transformer_depth: Tuple[int, ...] | int = 1
+    # Mid-block transformer depth; -1 → same as the innermost level (true
+    # for SD1.x/SD2.x/SDXL-base). The SDXL *refiner* has no attention at its
+    # innermost level yet a depth-4 mid transformer.
+    mid_depth: int = -1
     # SDXL text_time additional embedding: pooled text embeds + micro-cond
     # time_ids, projected into the timestep embedding.
     addition_embed: bool = False
     addition_time_embed_dim: int = 256
     addition_pooled_dim: int = 1280
+    # time_ids entries: 6 for SDXL-base [orig_h, orig_w, crop_t, crop_l,
+    # target_h, target_w]; 5 for the refiner (aesthetic score replaces the
+    # target pair). Geometry metadata (fixes add_embed_1's input width).
+    num_time_ids: int = 6
     # IP-Adapter (decoupled image-prompt cross-attention): when true, every
     # cross-attention layer owns extra to_k_ip/to_v_ip projections attending
     # over `ip_tokens` projected image tokens.
@@ -73,6 +81,11 @@ class UNetConfig:
         if isinstance(self.transformer_depth, int):
             return self.transformer_depth
         return self.transformer_depth[level]
+
+    def depth_mid(self) -> int:
+        if self.mid_depth >= 0:
+            return self.mid_depth
+        return self.depth_at(len(self.block_channels) - 1)
 
     def heads_for(self, channels: int) -> int:
         return channels // self.head_dim if self.head_dim else self.num_heads
@@ -132,6 +145,26 @@ TINY_SDXL_UNET = UNetConfig(block_channels=(32, 64), layers_per_block=1,
                             cross_attention_dim=48, norm_groups=8,
                             addition_embed=True, addition_pooled_dim=24)
 
+# SDXL refiner (stabilityai/stable-diffusion-xl-refiner-1.0): 4 levels with
+# attention only in the middle two, depth-4 transformers (mid included —
+# hence the explicit mid_depth), 64-wide heads, bigG-only cross-attention
+# (1280), and a 5-entry time_ids micro-cond [orig_h, orig_w, crop_top,
+# crop_left, aesthetic_score] → add_embed input 1280 + 5·256 = 2560.
+SDXL_REFINER_UNET = UNetConfig(block_channels=(384, 768, 1536, 1536),
+                               attention_levels=(False, True, True, False),
+                               transformer_depth=(0, 4, 4, 0), mid_depth=4,
+                               head_dim=64, cross_attention_dim=1280,
+                               addition_embed=True, num_time_ids=5)
+
+# Tiny refiner exercises the structure that distinguishes the refiner:
+# mid_depth differing from the innermost level's transformer depth.
+TINY_REFINER_UNET = UNetConfig(block_channels=(32, 64), layers_per_block=1,
+                               attention_levels=(False, True),
+                               transformer_depth=(0, 1), mid_depth=2,
+                               head_dim=16, cross_attention_dim=24,
+                               norm_groups=8, addition_embed=True,
+                               addition_pooled_dim=24, num_time_ids=5)
+
 # SD v2.1 (stabilityai/stable-diffusion-2-1): SD1.x layout with 64-wide
 # heads (5/10/20/20 per level), 1024-dim OpenCLIP-H cross-attention, and —
 # for the 768-v checkpoint — v-prediction
@@ -146,6 +179,11 @@ SD21_VAE = VAEConfig()
 OPENCLIP_H_TEXT = CLIPTextConfig(hidden_size=1024, num_layers=23,
                                  num_heads=16, intermediate_size=4096,
                                  activation='gelu')
+# OpenCLIP ViT-bigG/14 vision tower (the encoder of the non-vit-h SDXL
+# IP-Adapter checkpoints).
+OPENCLIP_BIGG_VISION = CLIPVisionConfig(hidden_size=1664, num_layers=48,
+                                        num_heads=16, intermediate_size=8192,
+                                        projection_dim=1280)
 # OpenCLIP ViT-H/14 vision tower (IP-Adapter's image encoder).
 OPENCLIP_H_VISION = CLIPVisionConfig(hidden_size=1280, num_layers=32,
                                      num_heads=16, intermediate_size=5120,

@@ -45,6 +45,90 @@ class ImageProjection(nn.Module):
         return nn.LayerNorm(epsilon=1e-5, name='norm', dtype=self.dtype)(x)
 
 
+class PerceiverAttention(nn.Module):
+    """One Resampler cross-attention: learned latents attend over
+    ``concat(image tokens, latents)`` (the official IP-Adapter Plus
+    perceiver block, including its split softmax scale — ``1/√√d`` applied
+    to both q and k so the product is the usual ``1/√d``)."""
+
+    dim: int
+    dim_head: int = 64
+    heads: int = 12
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, latents: Array) -> Array:
+        inner = self.dim_head * self.heads
+        x = nn.LayerNorm(epsilon=1e-5, name='norm1', dtype=self.dtype)(x)
+        lat = nn.LayerNorm(epsilon=1e-5, name='norm2',
+                           dtype=self.dtype)(latents)
+        b, n, _ = lat.shape
+        q = nn.Dense(inner, use_bias=False, name='to_q',
+                     dtype=self.dtype)(lat)
+        kv_in = jnp.concatenate([x, lat], axis=-2)
+        kv = nn.Dense(inner * 2, use_bias=False, name='to_kv',
+                      dtype=self.dtype)(kv_in)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        def heads_first(t):
+            return t.reshape(b, t.shape[1], self.heads,
+                             self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = heads_first(q), heads_first(k), heads_first(v)
+        scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(self.dim_head,
+                                                    jnp.float32)))
+        w = jnp.einsum('bhnd,bhmd->bhnm', (q * scale).astype(jnp.float32),
+                       (k * scale).astype(jnp.float32))
+        w = jax.nn.softmax(w, axis=-1).astype(v.dtype)
+        out = jnp.einsum('bhnm,bhmd->bhnd', w, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        return nn.Dense(self.dim, use_bias=False, name='to_out',
+                        dtype=self.dtype)(out)
+
+
+class Resampler(nn.Module):
+    """IP-Adapter Plus image projection: ``num_queries`` learned latents
+    refined over ``depth`` perceiver blocks against the image encoder's
+    penultimate patch tokens, then projected to the UNet context dim.
+
+    ``[B, 1+P, embed_dim] -> [B, num_queries, output_dim]``.
+    """
+
+    output_dim: int
+    dim: int = 768
+    depth: int = 4
+    dim_head: int = 64
+    heads: int = 12
+    num_queries: int = 16
+    ff_mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, embeds: Array) -> Array:
+        b = embeds.shape[0]
+        latents = self.param('latents', nn.initializers.normal(1.0),
+                             (1, self.num_queries, self.dim))
+        lat = jnp.broadcast_to(latents.astype(self.dtype),
+                               (b, self.num_queries, self.dim))
+        x = nn.Dense(self.dim, name='proj_in',
+                     dtype=self.dtype)(embeds.astype(self.dtype))
+        for i in range(self.depth):
+            lat = lat + PerceiverAttention(self.dim, self.dim_head,
+                                           self.heads, dtype=self.dtype,
+                                           name=f'layers_{i}_attn')(x, lat)
+            h = nn.LayerNorm(epsilon=1e-5, name=f'layers_{i}_ff_norm',
+                             dtype=self.dtype)(lat)
+            h = nn.Dense(self.dim * self.ff_mult, use_bias=False,
+                         name=f'layers_{i}_ff_1', dtype=self.dtype)(h)
+            h = nn.Dense(self.dim, use_bias=False, name=f'layers_{i}_ff_2',
+                         dtype=self.dtype)(nn.gelu(h, approximate=False))
+            lat = lat + h
+        out = nn.Dense(self.output_dim, name='proj_out',
+                       dtype=self.dtype)(lat)
+        return nn.LayerNorm(epsilon=1e-5, name='norm_out',
+                            dtype=self.dtype)(out)
+
+
 def attn2_layer_order(config: UNetConfig):
     """Cross-attention layer paths in diffusers' ``attn_processors`` order.
 
@@ -57,8 +141,9 @@ def attn2_layer_order(config: UNetConfig):
     """
     paths = []
 
-    def block(head: str, level: int):
-        for d in range(config.depth_at(level)):
+    def block(head: str, level: int, depth=None):
+        depth = config.depth_at(level) if depth is None else depth
+        for d in range(depth):
             paths.append((head, f'blocks_{d}', 'attn2'))
 
     n = len(config.block_channels)
@@ -71,39 +156,18 @@ def attn2_layer_order(config: UNetConfig):
         for j in range(config.layers_per_block + 1):
             if config.attention_levels[level]:
                 block(f'up_{i}_attn_{j}', level)
-    block('mid_attn', n - 1)
+    block('mid_attn', n - 1, depth=config.depth_mid())
     return paths
 
 
-def convert_ip_adapter(sd: Dict[str, np.ndarray], config: UNetConfig):
-    """Official IP-Adapter state dict → (image_proj params, per-layer map).
+def convert_ip_layers(sd: Dict[str, np.ndarray], config: UNetConfig):
+    """Per-layer ``to_k_ip``/``to_v_ip`` map for a UNet config.
 
-    Accepts both the nested torch layout (flattened by
-    ``weights.load.load_state_dict`` to ``image_proj.*`` / ``ip_adapter.*``)
-    and safetensors exports with the same names. Returns
-    ``(image_proj_params, {layer_path: {'to_k_ip': kernel, 'to_v_ip': ...}})``
-    with kernels already in flax ``[in, out]`` layout.
+    Collects per-index projections and maps sorted indices onto the attn2
+    enumeration (official ckpts use odd indices 1,3,5,…; some re-exports
+    renumber densely — order is what matters). Kernels in flax ``[in, out]``
+    layout.
     """
-    if 'image_proj.proj.weight' not in sd:
-        raise ValueError(
-            'unsupported IP-Adapter variant: no image_proj.proj.weight — '
-            'Plus/FaceID checkpoints use a perceiver Resampler image '
-            'projection, which is not implemented (base checkpoints only)')
-    proj_w = np.asarray(sd['image_proj.proj.weight'])
-    if proj_w.shape[0] % config.cross_attention_dim:
-        raise ValueError(
-            f'image_proj output dim {proj_w.shape[0]} is not a multiple of '
-            f'the UNet cross-attention dim {config.cross_attention_dim} — '
-            'adapter does not match this base model')
-    proj = {
-        'proj': {'kernel': proj_w.T,
-                 'bias': np.asarray(sd['image_proj.proj.bias'])},
-        'norm': {'scale': np.asarray(sd['image_proj.norm.weight']),
-                 'bias': np.asarray(sd['image_proj.norm.bias'])},
-    }
-    # Collect per-index to_k_ip/to_v_ip and map sorted indices onto the
-    # attn2 enumeration (official ckpts use odd indices 1,3,5,…; some
-    # re-exports renumber densely — order is what matters).
     per_idx: Dict[int, dict] = {}
     for key, val in sd.items():
         m = re.match(r'ip_adapter\.(\d+)\.to_([kv])_ip\.weight$', key)
@@ -116,7 +180,108 @@ def convert_ip_adapter(sd: Dict[str, np.ndarray], config: UNetConfig):
         raise ValueError(
             f'IP-Adapter has {len(indices)} attention layers but this UNet '
             f'config has {len(order)} cross-attention layers')
-    return proj, dict(zip(order, (per_idx[i] for i in indices)))
+    return dict(zip(order, (per_idx[i] for i in indices)))
+
+
+def build_image_proj(sd: Dict[str, np.ndarray], config: UNetConfig,
+                     dtype=jnp.float32):
+    """Image-projection head for whichever variant the checkpoint is.
+
+    Returns ``(module, params, num_tokens, input_kind)`` where
+    ``input_kind`` tells the caller what to feed the module:
+
+    * ``'pooled'`` — base checkpoints (``image_proj.proj.*``): the image
+      encoder's CLS-pooled projected embedding ``[B, D]``.
+    * ``'penultimate'`` — Plus/SDXL-plus checkpoints
+      (``image_proj.latents`` + perceiver layers): the encoder's
+      second-to-last hidden states ``[B, 1+P, D]``.
+    """
+    if 'image_proj.latents' in sd:
+        lat = np.asarray(sd['image_proj.latents'])
+        dim, nq = lat.shape[-1], lat.shape[1]
+        out_w = np.asarray(sd['image_proj.proj_out.weight'])
+        if out_w.shape[0] != config.cross_attention_dim:
+            raise ValueError(
+                f'Resampler output dim {out_w.shape[0]} != UNet '
+                f'cross-attention dim {config.cross_attention_dim} — '
+                'adapter does not match this base model')
+        inner = np.asarray(sd['image_proj.layers.0.0.to_q.weight']).shape[0]
+        depth = 0
+        while f'image_proj.layers.{depth}.0.to_q.weight' in sd:
+            depth += 1
+        ff1 = np.asarray(sd['image_proj.layers.0.1.1.weight'])
+        params = {
+            'latents': lat,
+            'proj_in': {
+                'kernel': np.asarray(sd['image_proj.proj_in.weight']).T,
+                'bias': np.asarray(sd['image_proj.proj_in.bias'])},
+            'proj_out': {'kernel': out_w.T,
+                         'bias': np.asarray(sd['image_proj.proj_out.bias'])},
+            'norm_out': {
+                'scale': np.asarray(sd['image_proj.norm_out.weight']),
+                'bias': np.asarray(sd['image_proj.norm_out.bias'])},
+        }
+        for i in range(depth):
+            pre = f'image_proj.layers.{i}'
+            params[f'layers_{i}_attn'] = {
+                'norm1': {'scale': np.asarray(sd[f'{pre}.0.norm1.weight']),
+                          'bias': np.asarray(sd[f'{pre}.0.norm1.bias'])},
+                'norm2': {'scale': np.asarray(sd[f'{pre}.0.norm2.weight']),
+                          'bias': np.asarray(sd[f'{pre}.0.norm2.bias'])},
+                'to_q': {'kernel': np.asarray(sd[f'{pre}.0.to_q.weight']).T},
+                'to_kv': {
+                    'kernel': np.asarray(sd[f'{pre}.0.to_kv.weight']).T},
+                'to_out': {
+                    'kernel': np.asarray(sd[f'{pre}.0.to_out.weight']).T},
+            }
+            params[f'layers_{i}_ff_norm'] = {
+                'scale': np.asarray(sd[f'{pre}.1.0.weight']),
+                'bias': np.asarray(sd[f'{pre}.1.0.bias'])}
+            params[f'layers_{i}_ff_1'] = {
+                'kernel': np.asarray(sd[f'{pre}.1.1.weight']).T}
+            params[f'layers_{i}_ff_2'] = {
+                'kernel': np.asarray(sd[f'{pre}.1.3.weight']).T}
+        # Official checkpoints use 64-wide heads; fall back to one head for
+        # sub-64 inner dims (tiny test geometries).
+        dim_head = 64 if inner % 64 == 0 and inner >= 64 else inner
+        module = Resampler(output_dim=out_w.shape[0], dim=dim, depth=depth,
+                           dim_head=dim_head, heads=inner // dim_head,
+                           num_queries=nq, ff_mult=ff1.shape[0] // dim,
+                           dtype=dtype)
+        return module, {'params': params}, nq, 'penultimate'
+
+    if 'image_proj.proj.weight' not in sd:
+        raise ValueError(
+            'unsupported IP-Adapter variant: neither image_proj.proj.weight '
+            '(base) nor image_proj.latents (Plus Resampler) present — '
+            'FaceID checkpoints are not supported')
+    proj_w = np.asarray(sd['image_proj.proj.weight'])
+    if proj_w.shape[0] % config.cross_attention_dim:
+        raise ValueError(
+            f'image_proj output dim {proj_w.shape[0]} is not a multiple of '
+            f'the UNet cross-attention dim {config.cross_attention_dim} — '
+            'adapter does not match this base model')
+    proj = {
+        'proj': {'kernel': proj_w.T,
+                 'bias': np.asarray(sd['image_proj.proj.bias'])},
+        'norm': {'scale': np.asarray(sd['image_proj.norm.weight']),
+                 'bias': np.asarray(sd['image_proj.norm.bias'])},
+    }
+    tokens = proj_w.shape[0] // config.cross_attention_dim
+    module = ImageProjection(config.cross_attention_dim, tokens, dtype=dtype)
+    return module, {'params': proj}, tokens, 'pooled'
+
+
+def convert_ip_adapter(sd: Dict[str, np.ndarray], config: UNetConfig):
+    """Back-compat wrapper (base checkpoints): → ``(image_proj params,
+    per-layer map)``. New code should use :func:`build_image_proj` +
+    :func:`convert_ip_layers`, which also handle Plus (Resampler)
+    checkpoints."""
+    module, params, _, kind = build_image_proj(sd, config)
+    if kind != 'pooled':
+        raise ValueError('convert_ip_adapter handles base checkpoints only;'
+                         ' use build_image_proj for Plus (Resampler) ones')
+    return params['params'], convert_ip_layers(sd, config)
 
 
 def merge_ip_weights(unet_params, layer_map) -> dict:

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 from flexdiffuse_tpu.models.clip import CLIPTextModel
 from flexdiffuse_tpu.models.configs import (CLIP_VIT_L14_TEXT,
-                                            OPENCLIP_BIGG_TEXT, SDXL_UNET,
+                                            OPENCLIP_BIGG_TEXT,
+                                            SDXL_REFINER_UNET, SDXL_UNET,
                                             SDXL_VAE)
 
 Array = jax.Array
@@ -69,12 +70,53 @@ class SDXLTextEncoder:
         ids1 = jnp.asarray(self.tokenizer(prompt))
         return self._apply1(self._p1, ids1, output='penultimate')
 
+    def encode_refiner(self, prompt: Union[str, List[str]]
+                       ) -> Tuple[Array, Array]:
+        """Refiner conditioning: encoder-2 (bigG) ONLY —
+        ``(ctx [B, 77, 1280], pooled [B, 1280])``. The refiner UNet has no
+        CLIP-L half (cross_attention_dim 1280)."""
+        ids2 = jnp.asarray(self.tokenizer(prompt, pad_id=PAD_ID_2))
+        return self._apply2(self._p2, ids2,
+                            output='penultimate_and_pooled')
+
 
 def time_ids(original_size: Tuple[int, int] = (1024, 1024),
              crop: Tuple[int, int] = (0, 0),
              target_size: Tuple[int, int] = (1024, 1024)) -> Array:
     """SDXL micro-conditioning ids ``[1, 6]``."""
     return jnp.asarray([[*original_size, *crop, *target_size]], jnp.float32)
+
+
+def refiner_time_ids(original_size: Tuple[int, int] = (1024, 1024),
+                     crop: Tuple[int, int] = (0, 0),
+                     aesthetic_score: float = 6.0) -> Array:
+    """Refiner micro-conditioning ids ``[1, 5]`` — the target-size pair is
+    replaced by the SGM aesthetic score (add_embed input 1280 + 5·256)."""
+    return jnp.asarray([[*original_size, *crop, aesthetic_score]],
+                       jnp.float32)
+
+
+def sdxl_refiner_guidance(encoder: SDXLTextEncoder,
+                          prompt: Union[str, List[str]],
+                          negative_prompt: str = '',
+                          guidance_scale: float = 5.0,
+                          size: Tuple[int, int] = (1024, 1024),
+                          aesthetic_score: float = 6.0,
+                          negative_aesthetic_score: float = 2.5):
+    """:class:`SimpleGuidance` for the refiner UNet: bigG-only context +
+    pooled, aesthetic-score time_ids (positive/negative scores follow the
+    stabilityai defaults: 6.0 / 2.5)."""
+    from flexdiffuse_tpu.pipeline.guides import SimpleGuidance
+    ctx, pooled = encoder.encode_refiner(prompt)
+    unc_ctx, unc_pooled = encoder.encode_refiner(negative_prompt or '')
+    return SimpleGuidance(
+        embeddings=ctx, uncond=unc_ctx[:1],
+        guidance_scale=jnp.float32(guidance_scale),
+        pooled=pooled, uncond_pooled=unc_pooled[:1],
+        time_ids=refiner_time_ids(size, (0, 0), aesthetic_score),
+        uncond_time_ids=refiner_time_ids(size, (0, 0),
+                                         negative_aesthetic_score),
+        cfg=guidance_scale > 1.0)
 
 
 def sdxl_guidance(encoder: SDXLTextEncoder,
@@ -200,3 +242,20 @@ def load_sdxl(model_dir: str, dtype=jnp.bfloat16, unet_config=SDXL_UNET,
     p2 = {'params': convert.convert_clip_text(te2_sd, te2_config)}
     text_encoder = SDXLTextEncoder(enc1, p1, enc2, p2, tokenizer)
     return unet, unet_params, vae, vae_params, text_encoder
+
+
+def load_sdxl_refiner(model_dir: str, dtype=jnp.bfloat16,
+                      unet_config=SDXL_REFINER_UNET):
+    """Load the UNet of a ``stable-diffusion-xl-refiner-1.0`` snapshot.
+
+    Returns ``(unet, unet_params)`` — the refiner shares the base
+    snapshot's VAE and bigG text encoder (same weights in both repos), so
+    :class:`~flexdiffuse_tpu.sdxl_runner.SDXLRunner` only needs the extra
+    UNet.
+    """
+    from flexdiffuse_tpu.models.unet import UNet2DCondition
+    from flexdiffuse_tpu.weights import convert, load as wload
+
+    unet_sd = wload.load_state_dict(os.path.join(model_dir, 'unet'))
+    unet = UNet2DCondition(unet_config, dtype=dtype)
+    return unet, {'params': convert.convert_unet(unet_sd, unet_config)}

@@ -266,7 +266,7 @@ def run_down_mid(cfg: UNetConfig, h: Array, temb: Array, context: Array,
     h = ResnetBlock(mid_ch, cfg.norm_groups, dtype=dtype,
                     norm_dtype=norm_dtype, name='mid_res_0')(h, temb)
     h = Transformer2D(mid_ch, cfg.heads_for(mid_ch),
-                      cfg.depth_at(num_levels - 1), cfg.norm_groups,
+                      cfg.depth_mid(), cfg.norm_groups,
                       dtype=dtype, ip_adapter=cfg.ip_adapter,
                       name='mid_attn')(h, context, ip_ctx, ip_scale)
     h = ResnetBlock(mid_ch, cfg.norm_groups, dtype=dtype,

@@ -20,6 +20,8 @@ so checkpoints convert identically.
 """
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -28,7 +30,7 @@ Array = jax.Array
 
 
 def group_norm(x: Array, groups: int, scale: Array, bias: Array,
-               epsilon: float = 1e-5, barrier: bool = True) -> Array:
+               epsilon: float = 1e-5, barrier=True) -> Array:
     """GroupNorm over the channel-last dim of ``[B, ..., C]``; returns f32.
 
     Statistics are computed in two stages so the big reduce keeps channels
@@ -37,8 +39,17 @@ def group_norm(x: Array, groups: int, scale: Array, bias: Array,
     tiling): spatial-only per-channel sums ``[b, C]``, then a tiny grouped
     sum. Mathematically identical to flax's mean/E[x²] form.
     """
-    if barrier:
+    xs = x
+    if barrier == 'stats':
+        # Split variant: only the stats reduce reads through the barrier —
+        # the producing conv emits plain bf16 once, while the normalize
+        # apply below stays fusable with both the producer's epilogue and
+        # the consumer (the full barrier variant blocked those fusions and
+        # measured slower; tools/flash_tt.py step()).
+        (xs,) = jax.lax.optimization_barrier((x,))
+    elif barrier:
         (x,) = jax.lax.optimization_barrier((x,))
+        xs = x
     shape = x.shape
     b, c = shape[0], shape[-1]
     per = c // groups
@@ -48,8 +59,9 @@ def group_norm(x: Array, groups: int, scale: Array, bias: Array,
     n *= per
     red = tuple(range(1, len(shape) - 1))
     xf = x.astype(jnp.float32)
-    s1c = jnp.sum(xf, axis=red)                              # [b, c]
-    s2c = jnp.sum(jnp.square(xf), axis=red)                  # [b, c]
+    xsf = xs.astype(jnp.float32)
+    s1c = jnp.sum(xsf, axis=red)                             # [b, c]
+    s2c = jnp.sum(jnp.square(xsf), axis=red)                 # [b, c]
     s1 = jnp.sum(s1c.reshape(b, groups, per), axis=-1)       # [b, groups]
     s2 = jnp.sum(s2c.reshape(b, groups, per), axis=-1)
     mean = s1 / n
@@ -71,7 +83,7 @@ class GroupNorm(nn.Module):
 
     num_groups: int
     epsilon: float = 1e-5
-    barrier: bool = True
+    barrier: Any = True  # True | False | 'stats'
 
     @nn.compact
     def __call__(self, x: Array) -> Array:

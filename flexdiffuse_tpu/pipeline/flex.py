@@ -293,7 +293,8 @@ class FlexPipeline:
                                       Array]] = None,
                  control_image: Optional[Union[Image.Image,
                                                np.ndarray]] = None,
-                 controlnet_scale: float = 1.0):
+                 controlnet_scale: float = 1.0,
+                 init_latents: Optional[Array] = None):
         """Generate images (reference ``FlexPipeline.__call__``
         pipeline/flex.py:126-310; ``generator`` → explicit PRNG ``key``).
 
@@ -307,6 +308,8 @@ class FlexPipeline:
                              f'but is {strength}')
         if mask is not None and init_image is None:
             raise ValueError('inpainting (mask=...) requires init_image')
+        if init_latents is not None and init_image is not None:
+            raise ValueError('pass init_image OR init_latents, not both')
         if key is None:
             key = jax.random.PRNGKey(0)
         key, k_enc, k_noise, k_scan = jax.random.split(key, 4)
@@ -395,7 +398,7 @@ class FlexPipeline:
             return self._package(latents, all_latents, t_start, debug,
                                  output_type, return_dict)
 
-        if init_image is not None:
+        if init_image is not None or init_latents is not None:
             if getattr(schedule, 'prk', False):
                 # The PRK feed is steps+9 positions whose first 12 span only
                 # the top 3 timesteps; a strength-derived t_start indexes a
@@ -406,11 +409,20 @@ class FlexPipeline:
                 raise NotImplementedError(
                     'img2img/inpaint is not defined for PNDM PRK warm-up '
                     '(skip_prk_steps=False); use the PLMS mode')
-            if isinstance(init_image, Image.Image):
-                init_image = preprocess(init_image)
-            pixels = jnp.asarray(init_image)
-            init_latents = self._encode(self.vae_params, pixels, k_enc)
-            init_latents = jnp.concatenate([init_latents] * batch_size)
+            if init_latents is not None:
+                # Latents-direct img2img (SDXL base->refiner chaining): the
+                # caller supplies final latents from a previous pipeline in
+                # the shared scaled latent space; no VAE round trip.
+                init_latents = jnp.asarray(init_latents, jnp.float32)
+                if init_latents.shape[0] != batch_size:
+                    init_latents = jnp.concatenate(
+                        [init_latents] * batch_size)
+            else:
+                if isinstance(init_image, Image.Image):
+                    init_image = preprocess(init_image)
+                pixels = jnp.asarray(init_image)
+                init_latents = self._encode(self.vae_params, pixels, k_enc)
+                init_latents = jnp.concatenate([init_latents] * batch_size)
             init_timestep, t_start = schedulers.init_timestep_info(
                 schedule, strength, steps)
             noise = jax.random.normal(k_noise, init_latents.shape,
@@ -466,6 +478,10 @@ class FlexPipeline:
                 ]
             else:
                 images = np.concatenate(batches, axis=0)
+        elif output_type == 'latent':
+            # Raw final latents (scaled latent space) — feeds a follow-on
+            # pipeline sharing the VAE, e.g. the SDXL refiner.
+            images = latents
         elif output_type == 'device_u8':
             # Quantized device array, fetch deferred to the caller (the
             # overlapped serving path; see decode_u8_device).

@@ -50,6 +50,9 @@ class SimpleGuidance(struct.PyTreeNode):
     pooled: Optional[Array] = None
     uncond_pooled: Optional[Array] = None
     time_ids: Optional[Array] = None
+    # Refiner CFG: the negative half carries its own time_ids (the
+    # aesthetic-score slot differs, 2.5 vs 6.0). None -> same as time_ids.
+    uncond_time_ids: Optional[Array] = None
     # Inpainting-checkpoint conditioning (9-channel UNets à la
     # runwayml/stable-diffusion-inpainting): ``[B, h, w, 5]`` = mask (1ch,
     # 1 = repaint) + masked-image latents (4ch), concatenated onto the UNet
@@ -75,7 +78,14 @@ class SimpleGuidance(struct.PyTreeNode):
         if with_uncond:
             up = jnp.broadcast_to(self.uncond_pooled, pooled.shape)
             pooled = jnp.concatenate([up, pooled])
-        tids = jnp.broadcast_to(self.time_ids, (n, self.time_ids.shape[-1]))
+        if with_uncond and self.uncond_time_ids is not None:
+            half = (n // 2, self.time_ids.shape[-1])
+            tids = jnp.concatenate(
+                [jnp.broadcast_to(self.uncond_time_ids, half),
+                 jnp.broadcast_to(self.time_ids, half)])
+        else:
+            tids = jnp.broadcast_to(self.time_ids,
+                                    (n, self.time_ids.shape[-1]))
         return {'text_embeds': pooled, 'time_ids': tids}
 
     def _with_extra(self, latents: Array) -> Array:

@@ -43,6 +43,110 @@ from flexdiffuse_tpu.utils.image import image_grid, to_pil
 log = logging.getLogger(__name__)
 
 
+class IPAdapterState:
+    """Loaded IP-Adapter: image-projection head (simple or Resampler),
+    optional image encoder, and the adapter's unconditional tokens. Shared
+    by the SD1.x :class:`Runner` and :class:`~flexdiffuse_tpu.sdxl_runner.
+    SDXLRunner` (the SDXL checkpoints differ only in dims/encoder)."""
+
+    def __init__(self, proj, proj_params, input_kind: str, encoder,
+                 vision_config) -> None:
+        self.proj = proj
+        self.proj_params = proj_params
+        self.input_kind = input_kind  # 'pooled' | 'penultimate'
+        self.encoder = encoder        # (jitted apply, params) | None
+        self.vision_config = vision_config
+        self.uncond_tokens = self.proj.apply(self.proj_params,
+                                             self._uncond_embed())
+
+    def _uncond_embed(self):
+        """Zeros embedding for base checkpoints; for Plus, the encoder's
+        penultimate states of a zeros pixel grid (the official uncond —
+        zeros in the *normalized* pixel space), falling back to zeros
+        hidden states when no encoder is loaded (precomputed-embed
+        workflows)."""
+        if self.input_kind == 'pooled':
+            return jnp.zeros((1, self.proj_params['params']['proj']
+                              ['kernel'].shape[0]), jnp.float32)
+        if self.encoder is not None:
+            apply, vparams = self.encoder
+            size = self.vision_config.image_size
+            return apply(vparams, jnp.zeros((1, size, size, 3), jnp.float32),
+                         output='penultimate')
+        embed_dim = self.proj_params['params']['proj_in']['kernel'].shape[0]
+        return jnp.zeros((1, 257, embed_dim), jnp.float32)
+
+    def fields(self, ip_embed, ip_image, ip_scale: float) -> dict:
+        """The ``SimpleGuidance`` ip_* fields for one generation."""
+        if ip_embed is None:
+            if self.encoder is None:
+                raise ValueError(
+                    'ip_image requires load_ip_adapter(image_encoder_dir=…) '
+                    '— or pass a precomputed ip_embed')
+            from flexdiffuse_tpu.utils.image import clip_preprocess
+            apply, vparams = self.encoder
+            ip_embed = apply(
+                vparams, jnp.asarray(clip_preprocess(ip_image)),
+                output=('penultimate' if self.input_kind == 'penultimate'
+                        else 'pooled'))
+        emb = jnp.asarray(ip_embed, jnp.float32)
+        want_ndim = 3 if self.input_kind == 'penultimate' else 2
+        if emb.ndim == want_ndim - 1:
+            emb = emb[None]
+        tok = self.proj.apply(self.proj_params, emb)
+        return dict(ip_tokens=tok, ip_uncond=self.uncond_tokens,
+                    ip_scale=jnp.float32(ip_scale))
+
+
+def attach_ip_adapter(pipe: FlexPipeline, path: str,
+                      image_encoder_dir: Optional[str] = None,
+                      vision_config=None):
+    """Merge an IP-Adapter checkpoint into a pipeline.
+
+    Returns ``(new_pipe, IPAdapterState)`` — the pipeline is rebuilt with an
+    ``ip_adapter=True`` UNet config and the per-layer ``to_k_ip``/``to_v_ip``
+    projections merged into the param tree. ``vision_config`` defaults to
+    OpenCLIP ViT-H (the encoder shipped with the SD1.5 and SDXL *vit-h*
+    adapters); pass another ``CLIPVisionConfig`` for bigG-encoder variants.
+    """
+    import dataclasses as _dc
+    from flexdiffuse_tpu.models import (OPENCLIP_H_VISION, CLIPVisionModel,
+                                        UNet2DCondition)
+    from flexdiffuse_tpu.models.ip_adapter import (build_image_proj,
+                                                   convert_ip_layers,
+                                                   merge_ip_weights)
+    from flexdiffuse_tpu.weights import convert as _convert
+    from flexdiffuse_tpu.weights import load as _load
+    if vision_config is None:
+        vision_config = OPENCLIP_H_VISION
+    sd = _load.load_state_dict(path)
+    old = pipe.unet
+    layer_map = convert_ip_layers(sd, old.config)
+    proj, proj_params, tokens, kind = build_image_proj(sd, old.config,
+                                                       dtype=old.dtype)
+    cfg2 = _dc.replace(old.config, ip_adapter=True, ip_tokens=tokens)
+    new_unet = UNet2DCondition(cfg2, dtype=old.dtype)
+    new_params = merge_ip_weights(pipe.unet_params, layer_map)
+    new_pipe = FlexPipeline(
+        new_unet, new_params, pipe.vae, pipe.vae_params,
+        scheduler=pipe.scheduler_kind, scheduler_config=pipe.scheduler_config,
+        latent_scale=pipe.latent_scale, sp_mesh=pipe.sp_mesh,
+        sp_axis=pipe.sp_axis, sp_min_seq=pipe.sp_min_seq,
+        controlnet=pipe.controlnet, controlnet_params=pipe.controlnet_params)
+    encoder = None
+    if image_encoder_dir:
+        enc_sd = _load.load_state_dict(image_encoder_dir)
+        vparams = {'params': _convert.convert_clip_vision(enc_sd,
+                                                          vision_config)}
+        vmodel = CLIPVisionModel(vision_config, dtype=old.dtype)
+        encoder = (jax.jit(vmodel.apply, static_argnames=('output',)),
+                   vparams)
+    state = IPAdapterState(proj, proj_params, kind, encoder, vision_config)
+    log.info('ip-adapter loaded from %s (%d tokens, %s input)', path,
+             tokens, kind)
+    return new_pipe, state
+
+
 def _i100(f: float) -> int:
     return int(f * 100)
 
@@ -164,82 +268,30 @@ class Runner:
 
     # ------------------------------------------------------------------
     def load_ip_adapter(self, path: str,
-                        image_encoder_dir: str = None) -> None:
+                        image_encoder_dir: str = None,
+                        vision_config=None) -> None:
         """Load an official IP-Adapter checkpoint (decoupled image-prompt
         attention, models/ip_adapter.py) and rebuild the pipeline with the
         per-layer projections merged in.
 
         Generate with ``gen(ip_image=<PIL image>, ip_scale=...)`` when
         ``image_encoder_dir`` points at the adapter's image-encoder snapshot
-        (OpenCLIP ViT-H for the standard SD1.5 checkpoint — CLS-pooled
-        projected embedding), or with a precomputed
-        ``gen(ip_embed=<[1, D] embedding>)``."""
-        import dataclasses as _dc
-        from flexdiffuse_tpu.models import UNet2DCondition
-        from flexdiffuse_tpu.models.ip_adapter import (ImageProjection,
-                                                       convert_ip_adapter,
-                                                       merge_ip_weights)
-        from flexdiffuse_tpu.weights import load as _load
-        sd = _load.load_state_dict(path)
-        old = self.pipe.unet
-        proj_p, layer_map = convert_ip_adapter(sd, old.config)
-        d_ctx = old.config.cross_attention_dim
-        tokens = proj_p['proj']['kernel'].shape[1] // d_ctx
-        cfg2 = _dc.replace(old.config, ip_adapter=True, ip_tokens=tokens)
-        new_unet = UNet2DCondition(cfg2, dtype=old.dtype)
-        new_params = merge_ip_weights(self.pipe.unet_params, layer_map)
-        self._ip_proj = ImageProjection(d_ctx, tokens, dtype=old.dtype)
-        self._ip_proj_params = {'params': proj_p}
-        self._ip_embed_dim = proj_p['proj']['kernel'].shape[0]
-        self.pipe = FlexPipeline(
-            new_unet, new_params, self.pipe.vae, self.pipe.vae_params,
-            scheduler=self.pipe.scheduler_kind,
-            scheduler_config=self.pipe.scheduler_config,
-            latent_scale=self.pipe.latent_scale,
-            sp_mesh=self.pipe.sp_mesh, sp_axis=self.pipe.sp_axis,
-            sp_min_seq=self.pipe.sp_min_seq,
-            controlnet=self.pipe.controlnet,
-            controlnet_params=self.pipe.controlnet_params)
-        # The unconditional tokens are a constant of the adapter.
-        self._ip_uncond_tokens = self._ip_proj.apply(
-            self._ip_proj_params,
-            jnp.zeros((1, self._ip_embed_dim), jnp.float32))
-        self._ip_encoder = None
-        if image_encoder_dir:
-            from flexdiffuse_tpu.models import (OPENCLIP_H_VISION,
-                                                CLIPVisionModel)
-            from flexdiffuse_tpu.weights import convert as _convert
-            enc_sd = _load.load_state_dict(image_encoder_dir)
-            vcfg = OPENCLIP_H_VISION
-            vparams = {'params': _convert.convert_clip_vision(enc_sd, vcfg)}
-            vmodel = CLIPVisionModel(vcfg, dtype=old.dtype)
-            self._ip_encoder = (jax.jit(vmodel.apply,
-                                        static_argnames=('output',)),
-                                vparams)
-        log.info('ip-adapter loaded from %s (%d tokens, embed dim %d)',
-                 path, tokens, self._ip_embed_dim)
+        (OpenCLIP ViT-H for the standard SD1.5 checkpoints — CLS-pooled
+        projected embedding for base adapters, penultimate hidden states for
+        Plus/Resampler ones; the variant is detected from the checkpoint),
+        or with a precomputed ``gen(ip_embed=...)`` matching the adapter's
+        input kind."""
+        self.pipe, self._ip = attach_ip_adapter(self.pipe, path,
+                                                image_encoder_dir,
+                                                vision_config=vision_config)
 
     def _ip_fields(self, ip_embed, ip_image, ip_scale: float) -> dict:
         if ip_embed is None and ip_image is None:
             return {}
-        if not hasattr(self, '_ip_proj'):
+        if getattr(self, '_ip', None) is None:
             raise ValueError('image prompt given but no IP-Adapter is '
                              'loaded (Runner.load_ip_adapter)')
-        if ip_embed is None:
-            if self._ip_encoder is None:
-                raise ValueError(
-                    'ip_image requires load_ip_adapter(image_encoder_dir=…) '
-                    '— or pass a precomputed ip_embed')
-            from flexdiffuse_tpu.utils.image import clip_preprocess
-            apply, vparams = self._ip_encoder
-            ip_embed = apply(vparams, jnp.asarray(clip_preprocess(ip_image)),
-                             output='pooled')
-        emb = jnp.asarray(ip_embed, jnp.float32)
-        if emb.ndim == 1:
-            emb = emb[None]
-        tok = self._ip_proj.apply(self._ip_proj_params, emb)
-        return dict(ip_tokens=tok, ip_uncond=self._ip_uncond_tokens,
-                    ip_scale=jnp.float32(ip_scale))
+        return self._ip.fields(ip_embed, ip_image, ip_scale)
 
     # ------------------------------------------------------------------
     def load_controlnet(self, path: str) -> None:

@@ -36,7 +36,9 @@ log = logging.getLogger(__name__)
 class SDXLRunner:
     def __init__(self, model_root: str, clip_root: Optional[str] = None,
                  scheduler: str = 'dpmpp', dtype=jnp.bfloat16,
-                 output_dir: str = './outputs', **load_kwargs) -> None:
+                 output_dir: str = './outputs',
+                 refiner_root: Optional[str] = None,
+                 refiner_config=None, **load_kwargs) -> None:
         unet, unet_params, vae, vae_params, text = load_sdxl(
             model_root, dtype=dtype, **load_kwargs)
         self.text = text
@@ -48,6 +50,18 @@ class SDXLRunner:
         self.pipe = FlexPipeline(unet, unet_params, vae, vae_params,
                                  scheduler=scheduler,
                                  latent_scale=SDXL_LATENT_SCALE)
+        # Refiner (ensemble-of-expert-denoisers second stage): its own UNet
+        # in a pipeline sharing the base VAE; bigG-only conditioning.
+        self.refiner_pipe = None
+        if refiner_root:
+            from flexdiffuse_tpu.models.sdxl import load_sdxl_refiner
+            rkw = {} if refiner_config is None else {
+                'unet_config': refiner_config}
+            r_unet, r_params = load_sdxl_refiner(refiner_root, dtype=dtype,
+                                                 **rkw)
+            self.refiner_pipe = FlexPipeline(
+                r_unet, r_params, vae, vae_params, scheduler=scheduler,
+                latent_scale=SDXL_LATENT_SCALE)
         self.vision = None
         if clip_root:
             from flexdiffuse_tpu.models.clip import CLIPVisionModel
@@ -74,6 +88,23 @@ class SDXLRunner:
         self.pipe.unet_params = unet_p
         self.text._p1 = te1_p
         self.text._p2 = te2_p
+
+    # ------------------------------------------------------------------
+    def load_ip_adapter(self, path: str, image_encoder_dir: str = None,
+                        encoder: str = 'vit-h') -> None:
+        """Load an SDXL IP-Adapter checkpoint (base 2048-dim projection or
+        Plus Resampler — detected from the state dict) into the base
+        pipeline. ``encoder`` picks the image-tower geometry for
+        ``image_encoder_dir``: ``'vit-h'`` (the ``_vit-h`` checkpoints) or
+        ``'bigg'`` (the original ``ip-adapter_sdxl.bin``)."""
+        from flexdiffuse_tpu.models.configs import (OPENCLIP_BIGG_VISION,
+                                                    OPENCLIP_H_VISION)
+        from flexdiffuse_tpu.runner import attach_ip_adapter
+        vcfg = {'vit-h': OPENCLIP_H_VISION,
+                'bigg': OPENCLIP_BIGG_VISION}[encoder]
+        self.pipe, self._ip = attach_ip_adapter(self.pipe, path,
+                                                image_encoder_dir,
+                                                vision_config=vcfg)
 
     # ------------------------------------------------------------------
     def compose(self, *args, **kwargs):
@@ -109,8 +140,16 @@ class SDXLRunner:
         'guide_mode': 'mode',
         'guide_reuse': 'reuse',
     }
-    _UNSUPPORTED = ('mask', 'control_image', 'ip_image', 'ip_embed',
-                    'mapping_concepts', 'long_prompt')
+    _UNSUPPORTED = ('mask', 'control_image', 'mapping_concepts',
+                    'long_prompt')
+
+    def _ip_fields(self, ip_embed, ip_image, ip_scale: float) -> dict:
+        if ip_embed is None and ip_image is None:
+            return {}
+        if getattr(self, '_ip', None) is None:
+            raise ValueError('image prompt given but no IP-Adapter is '
+                             'loaded (SDXLRunner.load_ip_adapter)')
+        return self._ip.fields(ip_embed, ip_image, ip_scale)
 
     def gen(self,
             prompt: Union[str, List[str]] = '',
@@ -126,6 +165,12 @@ class SDXLRunner:
             seed: Optional[int] = None,
             save: bool = True,
             debug: bool = False,
+            refine_strength: float = 0.3,
+            aesthetic_score: float = 6.0,
+            negative_aesthetic_score: float = 2.5,
+            ip_image: Optional[Image.Image] = None,
+            ip_embed=None,
+            ip_scale: float = 1.0,
             **ui_kwargs):
         """SDXL generation with optional FlexDiffuse image guidance.
 
@@ -147,7 +192,6 @@ class SDXLRunner:
                 raise ValueError(f'{k} is not supported for the SDXL '
                                  'family yet (SD1.x only)')
         ui_kwargs.pop('controlnet_scale', None)
-        ui_kwargs.pop('ip_scale', None)
         unknown = set(ui_kwargs) - set(self._GP_FIELDS) - set(
             self._UNSUPPORTED)
         if unknown:
@@ -168,9 +212,30 @@ class SDXLRunner:
             ctx = tween_sdxl_context(tweener, g.embeddings, alt,
                                      l_dim=self._l_dim)
             g = g.replace(embeddings=ctx)
+        ipf = self._ip_fields(ip_embed, ip_image, ip_scale)
+        if ipf:
+            # Decoupled image-prompt attention on the BASE stage; the
+            # refiner UNet ships no adapter weights, so the refine pass
+            # (if any) runs text-only — matching the official SDXL
+            # IP-Adapter workflows.
+            g = g.replace(**ipf)
+
+        refine = self.refiner_pipe is not None and refine_strength > 0
+        g_ref = None
+        if refine:
+            if debug:
+                raise ValueError('debug (per-step decode) is not supported '
+                                 'with the refiner stage')
+            from flexdiffuse_tpu.models.sdxl import sdxl_refiner_guidance
+            g_ref = sdxl_refiner_guidance(
+                self.text, prompt, negative_prompt, guidance_scale,
+                size=init_size, aesthetic_score=aesthetic_score,
+                negative_aesthetic_score=negative_aesthetic_score)
 
         fp = (f'{"xli2i" if init_image is not None else "xlt2i"}'
               f'_st{steps}_gs{int(guidance_scale)}')
+        if refine:
+            fp += f'_ref{int(refine_strength * 100)}'
         if seed:
             fp += f'_se{seed}'
         all_images: List[Image.Image] = []
@@ -180,7 +245,16 @@ class SDXLRunner:
             self._key, sub = jax.random.split(self._key)
             t0 = time.time()
             out = self.pipe(g, steps=steps, init_image=init_image,
-                            init_size=init_size, strength=strength, key=sub)
+                            init_size=init_size, strength=strength, key=sub,
+                            output_type='latent' if refine else 'pil')
+            if refine:
+                # SDEdit-style refinement: renoise the base latents to the
+                # refine_strength level and denoise with the refiner UNet
+                # (shared VAE — latents chain without a decode/encode trip).
+                self._key, sub2 = jax.random.split(self._key)
+                out = self.refiner_pipe(g_ref, steps=steps,
+                                        init_latents=out.images,
+                                        strength=refine_strength, key=sub2)
             log.info('sdxl batch %d/%d in %.2fs', b + 1, samples,
                      time.time() - t0)
             if save:

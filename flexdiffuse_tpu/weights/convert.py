@@ -195,7 +195,7 @@ def convert_unet(sd: SD, config: UNetConfig) -> dict:
     out['mid_res_0'] = _resnet(sd, 'mid_block.resnets.0')
     out['mid_res_1'] = _resnet(sd, 'mid_block.resnets.1')
     out['mid_attn'] = _transformer2d(sd, 'mid_block.attentions.0',
-                                     config.depth_at(n - 1))
+                                     config.depth_mid())
     for i in range(n):
         level = n - 1 - i
         for j in range(config.layers_per_block + 1):
@@ -307,7 +307,7 @@ def convert_controlnet(sd: SD, config) -> dict:
     out['mid_res_0'] = _resnet(sd, 'mid_block.resnets.0')
     out['mid_res_1'] = _resnet(sd, 'mid_block.resnets.1')
     out['mid_attn'] = _transformer2d(sd, 'mid_block.attentions.0',
-                                     config.depth_at(n - 1))
+                                     config.depth_mid())
     k = 0
     while f'controlnet_down_blocks.{k}.weight' in sd:
         out[f'zero_conv_{k}'] = _conv(sd, f'controlnet_down_blocks.{k}')

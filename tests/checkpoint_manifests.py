@@ -77,7 +77,7 @@ def _transformer2d_keys(out: Manifest, p: str, c: int, depth: int,
 def _unet_down_mid_keys(out: Manifest, blocks: Tuple[int, ...], lpb: int,
                         attention: Tuple[bool, ...], depths: List[int],
                         context: int, linear_proj: bool,
-                        temb: int) -> List[int]:
+                        temb: int, mid_depth: int = -1) -> List[int]:
     """down_blocks + mid_block keys; returns the skip-channel list."""
     n = len(blocks)
     h = blocks[0]
@@ -97,7 +97,8 @@ def _unet_down_mid_keys(out: Manifest, blocks: Tuple[int, ...], lpb: int,
             skips.append(ch)
     mid = blocks[-1]
     _resnet_keys(out, 'mid_block.resnets.0', mid, mid, temb)
-    _transformer2d_keys(out, 'mid_block.attentions.0', mid, depths[n - 1],
+    _transformer2d_keys(out, 'mid_block.attentions.0', mid,
+                        depths[n - 1] if mid_depth < 0 else mid_depth,
                         context, linear_proj)
     _resnet_keys(out, 'mid_block.resnets.1', mid, mid, temb)
     return skips
@@ -113,7 +114,9 @@ def unet_manifest(blocks: Tuple[int, ...] = (320, 640, 1280, 1280),
                   linear_proj: bool = False,
                   addition_embed: bool = False,
                   addition_pooled_dim: int = 1280,
-                  addition_time_embed_dim: int = 256) -> Manifest:
+                  addition_time_embed_dim: int = 256,
+                  num_time_ids: int = 6,
+                  mid_depth: int = -1) -> Manifest:
     """diffusers ``UNet2DConditionModel`` state-dict schema.
 
     Defaults are ``CompVis/stable-diffusion-v1-4``'s ``unet/``; SD2.1 and
@@ -131,13 +134,14 @@ def unet_manifest(blocks: Tuple[int, ...] = (320, 640, 1280, 1280),
     out['time_embedding.linear_2.weight'] = (temb, temb)
     out['time_embedding.linear_2.bias'] = (temb,)
     if addition_embed:
-        add_in = addition_pooled_dim + 6 * addition_time_embed_dim
+        add_in = addition_pooled_dim + num_time_ids * addition_time_embed_dim
         out['add_embedding.linear_1.weight'] = (temb, add_in)
         out['add_embedding.linear_1.bias'] = (temb,)
         out['add_embedding.linear_2.weight'] = (temb, temb)
         out['add_embedding.linear_2.bias'] = (temb,)
     skips = _unet_down_mid_keys(out, blocks, layers_per_block, attention,
-                                list(depths), context, linear_proj, temb)
+                                list(depths), context, linear_proj, temb,
+                                mid_depth)
     h = blocks[-1]
     for i, ch in enumerate(reversed(blocks)):
         level = n - 1 - i
@@ -179,6 +183,19 @@ def sdxl_unet_manifest() -> Manifest:
     return unet_manifest(blocks=(320, 640, 1280),
                          attention=(False, True, True), depths=(0, 2, 10),
                          context=2048, linear_proj=True, addition_embed=True)
+
+
+def sdxl_refiner_unet_manifest() -> Manifest:
+    """``stabilityai/stable-diffusion-xl-refiner-1.0`` unet: 4 levels
+    (384/768/1536/1536) with attention only at the middle two, depth-4
+    transformers including the mid block, bigG-only 1280-dim context, and a
+    5-entry time_ids micro-cond (aesthetic score replaces target size:
+    projection_class_embeddings_input_dim 2560 = 1280 + 5*256)."""
+    return unet_manifest(blocks=(384, 768, 1536, 1536),
+                         attention=(False, True, True, False),
+                         depths=(0, 4, 4, 0), mid_depth=4,
+                         context=1280, linear_proj=True, addition_embed=True,
+                         num_time_ids=5)
 
 
 # ---------------------------------------------------------------------------

@@ -140,7 +140,7 @@ def _unet_init_args(config, image=64):
     if config.addition_embed:
         added = {
             'text_embeds': jnp.zeros((1, config.addition_pooled_dim)),
-            'time_ids': jnp.zeros((1, 6)),
+            'time_ids': jnp.zeros((1, config.num_time_ids)),
         }
         return lat, t, ctx, added
     return lat, t, ctx
@@ -150,6 +150,7 @@ def _unet_init_args(config, image=64):
     (man.sd14_unet_manifest, configs.SD14_UNET),
     (man.sd21_unet_manifest, configs.SD21_UNET),
     (man.sdxl_unet_manifest, configs.SDXL_UNET),
+    (man.sdxl_refiner_unet_manifest, configs.SDXL_REFINER_UNET),
 ])
 def test_unet_schema(manifest, config):
     from flexdiffuse_tpu.models import UNet2DCondition

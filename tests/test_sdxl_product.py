@@ -135,11 +135,61 @@ def test_sdxl_runner_ui_kwarg_surface(xl_runner):
         np.asarray(plain[0], np.int16)).max() > 0
 
 
-@pytest.mark.parametrize('kw', ['mask', 'control_image', 'ip_image',
+@pytest.mark.parametrize('kw', ['mask', 'control_image',
                                 'mapping_concepts', 'long_prompt'])
 def test_sdxl_unsupported_features_raise(xl_runner, kw):
     with pytest.raises(ValueError, match='not supported'):
         xl_runner.gen(prompt='a deer', steps=1, save=False, **{kw: 'x'})
+
+
+def test_sdxl_ip_image_without_adapter_raises(xl_runner):
+    with pytest.raises(ValueError, match='no IP-Adapter'):
+        xl_runner.gen(prompt='a deer', steps=1, save=False, ip_image='x')
+
+
+def test_sdxl_ip_adapter_end_to_end(xl_snapshot, tmp_path_factory):
+    """An SDXL-geometry IP-Adapter checkpoint (base projection variant)
+    loads through SDXLRunner.load_ip_adapter and conditions generation via
+    a precomputed image embedding."""
+    from flexdiffuse_tpu.models.ip_adapter import attn2_layer_order
+    from flexdiffuse_tpu.sdxl_runner import SDXLRunner
+    root, vocab = xl_snapshot
+    te1, te2 = _te_cfgs(vocab)
+    out = str(tmp_path_factory.mktemp('xl_ip_out'))
+    runner = SDXLRunner(root, scheduler='dpmpp', output_dir=out,
+                        unet_config=TINY_XL_UNET, vae_config=TINY_XL_VAE,
+                        te1_config=te1, te2_config=te2)
+    rng = np.random.default_rng(13)
+    d_ctx = TINY_XL_UNET.cross_attention_dim
+    d_img = 20
+    sd = {
+        'image_proj.proj.weight':
+            (rng.standard_normal((4 * d_ctx, d_img)) * 0.1).astype(
+                np.float32),
+        'image_proj.proj.bias':
+            np.zeros(4 * d_ctx, np.float32),
+        'image_proj.norm.weight': np.ones(d_ctx, np.float32),
+        'image_proj.norm.bias': np.zeros(d_ctx, np.float32),
+    }
+    for n, path in enumerate(attn2_layer_order(TINY_XL_UNET)):
+        width = 64  # all attn2 layers sit at the 64-ch level in TINY_XL
+        sd[f'ip_adapter.{2 * n + 1}.to_k_ip.weight'] = \
+            (rng.standard_normal((width, d_ctx)) * 0.1).astype(np.float32)
+        sd[f'ip_adapter.{2 * n + 1}.to_v_ip.weight'] = \
+            (rng.standard_normal((width, d_ctx)) * 0.1).astype(np.float32)
+    from safetensors.numpy import save_file
+    ckpt = tmp_path_factory.mktemp('xl_ip') / 'ip.safetensors'
+    save_file(sd, str(ckpt))
+    runner.load_ip_adapter(str(ckpt))
+    embed = rng.standard_normal((1, d_img)).astype(np.float32)
+    with_ip, _ = runner.gen(prompt='a deer', steps=2, init_size=(64, 64),
+                            samples=1, seed=3, save=False, ip_embed=embed,
+                            ip_scale=1.0)
+    plain, _ = runner.gen(prompt='a deer', steps=2, init_size=(64, 64),
+                          samples=1, seed=3, save=False, ip_embed=embed,
+                          ip_scale=0.0)
+    assert np.abs(np.asarray(with_ip[0], np.int16) -
+                  np.asarray(plain[0], np.int16)).max() > 0
 
 
 def test_cli_model_family_sdxl_wiring(xl_snapshot, monkeypatch, tmp_path):
@@ -153,9 +203,10 @@ def test_cli_model_family_sdxl_wiring(xl_snapshot, monkeypatch, tmp_path):
         output_dir = str(tmp_path)
 
         def __init__(self, root, clip_root=None, scheduler='dpmpp',
-                     output_dir='./outputs'):
+                     output_dir='./outputs', refiner_root=None):
             calls['init'] = dict(root=root, clip_root=clip_root,
-                                 scheduler=scheduler)
+                                 scheduler=scheduler,
+                                 refiner_root=refiner_root)
 
         def gen(self, **kw):
             calls['gen'] = kw
@@ -177,6 +228,59 @@ def test_cli_model_family_sdxl_wiring(xl_snapshot, monkeypatch, tmp_path):
     with pytest.raises(SystemExit, match='sdxl'):
         cli.main(['generate', '--model-family', 'sdxl', '--models', root,
                   '--controlnet', '/nope', '--prompt', 'x'])
+
+
+@pytest.fixture(scope='module')
+def refiner_snapshot(tmp_path_factory):
+    """Tiny refiner snapshot (unet/ only — VAE and bigG encoder are shared
+    with the base snapshot, like the real artifact pair)."""
+    from safetensors.numpy import save_file
+
+    root = tmp_path_factory.mktemp('sdxl-refiner-snap')
+    rng = np.random.default_rng(11)
+    unet_man = man.unet_manifest(
+        blocks=(32, 64), layers_per_block=1, attention=(False, True),
+        depths=(0, 1), mid_depth=2, context=24, linear_proj=True,
+        addition_embed=True, addition_pooled_dim=24, num_time_ids=5)
+    os.makedirs(root / 'unet', exist_ok=True)
+    save_file({k: (rng.standard_normal(s) * 0.02).astype(np.float32)
+               for k, s in unet_man.items()},
+              str(root / 'unet' / 'diffusion_pytorch_model.safetensors'))
+    return str(root)
+
+
+def test_sdxl_refiner_end_to_end(xl_snapshot, refiner_snapshot,
+                                 tmp_path_factory):
+    """Base->refiner two-stage flow through disk loading: the refiner stage
+    runs the second UNet over the base latents (latents-direct img2img) and
+    changes the output; refine_strength=0 bypasses it."""
+    from flexdiffuse_tpu.models.configs import TINY_REFINER_UNET
+    from flexdiffuse_tpu.sdxl_runner import SDXLRunner
+    root, vocab = xl_snapshot
+    te1, te2 = _te_cfgs(vocab)
+    out = str(tmp_path_factory.mktemp('xl_ref_out'))
+    runner = SDXLRunner(root, scheduler='dpmpp', output_dir=out,
+                        unet_config=TINY_XL_UNET, vae_config=TINY_XL_VAE,
+                        te1_config=te1, te2_config=te2,
+                        refiner_root=refiner_snapshot,
+                        refiner_config=TINY_REFINER_UNET)
+    assert runner.refiner_pipe is not None
+    refined, _ = runner.gen(prompt='a deer', steps=3, init_size=(64, 64),
+                            samples=1, seed=3, save=False,
+                            refine_strength=0.5)
+    assert len(refined) == 1 and refined[0].size == (64, 64)
+    base_only, _ = runner.gen(prompt='a deer', steps=3, init_size=(64, 64),
+                              samples=1, seed=3, save=False,
+                              refine_strength=0.0)
+    assert np.abs(np.asarray(refined[0], np.int16) -
+                  np.asarray(base_only[0], np.int16)).max() > 0
+    # negative aesthetic score flows into the CFG uncond half
+    other, _ = runner.gen(prompt='a deer', steps=3, init_size=(64, 64),
+                          samples=1, seed=3, save=False,
+                          refine_strength=0.5, aesthetic_score=-4.0,
+                          negative_aesthetic_score=9.0)
+    assert np.abs(np.asarray(refined[0], np.int16) -
+                  np.asarray(other[0], np.int16)).max() > 0
 
 
 def test_ui_serves_sdxl_runner(xl_runner):

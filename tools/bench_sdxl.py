@@ -7,10 +7,13 @@ DPM-Solver++ update per step in one ``lax.scan``. Fetch-timed (see
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, '/root/repo')
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+                      '/root/repo/.jax_cache')
 
 import jax
 import jax.numpy as jnp
@@ -24,8 +27,12 @@ STEPS = 8
 IMAGE = 1024
 
 
-def main() -> None:
-    print('devices:', jax.devices())
+def measure(verbose: bool = True) -> dict:
+    """Build + time the SDXL scan; returns the result dict (bench.py runs
+    this file as a subprocess for its ``sdxl`` extra — the model needs a
+    chip without other live buffers)."""
+    from flexdiffuse_tpu.ops import attention
+    attention.set_backend('flash')
     unet = UNet2DCondition(SDXL_UNET, dtype=jnp.bfloat16)
     hw = IMAGE // 8
     latents = jnp.zeros((1, hw, hw, 4), jnp.float32)
@@ -41,8 +48,9 @@ def main() -> None:
                             ctx, added), jax.random.PRNGKey(0))
     params = jax.tree_util.tree_map(
         lambda s: jnp.full(s.shape, 1e-3, s.dtype), shapes)
-    nparams = sum(x.size for x in jax.tree_util.tree_leaves(params))
-    print(f'params: {nparams:,}')
+    if verbose:
+        nparams = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        print(f'params: {nparams:,}')
 
     schedule = schedulers.make('dpmpp', STEPS)
     state0 = schedulers.init_state(schedule, latents.shape, latents.dtype)
@@ -67,20 +75,30 @@ def main() -> None:
     args = (params, latents, state0, ctx, added, jnp.float32(5.0))
     t0 = time.perf_counter()
     out = np.asarray(sample(*args))
-    print(f'compile+first run: {time.perf_counter() - t0:.1f}s, '
-          f'finite={np.isfinite(out).all()}')
+    if verbose:
+        print(f'compile+first run: {time.perf_counter() - t0:.1f}s, '
+              f'finite={np.isfinite(out).all()}')
     best = float('inf')
     for _ in range(3):
         t0 = time.perf_counter()
         _ = np.asarray(sample(*args))
         best = min(best, time.perf_counter() - t0)
-    print(json.dumps({
+    return {
         'metric': f'sdxl-base 1024x1024 CFG denoise steps/sec/chip '
                   f'(bf16, DPM++ {STEPS}-step scan)',
-        'value': round(STEPS / best, 3),
-        'unit': 'steps/sec',
+        'steps_per_sec': round(STEPS / best, 3),
         'seconds_per_image_25step': round(best / STEPS * 25, 2),
-    }))
+    }
+
+
+def main() -> None:
+    json_only = '--json' in sys.argv
+    if not json_only:
+        print('devices:', jax.devices())
+    out = measure(verbose=not json_only)
+    out['value'] = out.pop('steps_per_sec')
+    out['unit'] = 'steps/sec'
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':

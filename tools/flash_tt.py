@@ -291,6 +291,11 @@ def step(variants=('base', 'tt', 'gn', 'gn-nb', 'tt+gn')):
         run('tt+GN', True, True)
     if 'tt+gn+ctx' in variants:
         run('tt+GN+bf16ctx', True, True, ctx_bf16=True)
+    if 'gn-stats' in variants:
+        # Split barrier: stats-only (normalize stays producer/consumer-
+        # fusable). The full barrier measured slower; this isolates whether
+        # killing the (f32, f32) conv tuple outputs alone wins.
+        run('GN-stats', False, True, gn_barrier='stats')
 
 
 if __name__ == '__main__':
