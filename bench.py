@@ -36,10 +36,25 @@ os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
 
 
 def _params_like(shapes):
+    """Random-filled params with the PRODUCT dtype policy: matmul/conv
+    kernels pre-cast bf16, 1-D norm params fp32 (utils/params.py — what
+    FlexPipeline holds after construction; bit-identical to fp32 storage)."""
     import jax
     import jax.numpy as jnp
     return jax.tree_util.tree_map(
-        lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
+        lambda s: jnp.full(s.shape, 0.01,
+                           jnp.bfloat16 if len(s.shape) >= 2 else s.dtype),
+        shapes)
+
+
+def _jit(fn):
+    """Product-parity jit: same TPU compiler options as FlexPipeline."""
+    import functools
+    import jax
+
+    from flexdiffuse_tpu.utils.params import product_compiler_options
+    return functools.partial(jax.jit,
+                             compiler_options=product_compiler_options())(fn)
 
 
 def _build(scheduler_steps: int = STEPS, batch: int = 1):
@@ -62,7 +77,7 @@ def _build(scheduler_steps: int = STEPS, batch: int = 1):
     schedule = schedulers.make('pndm', scheduler_steps)
     state0 = schedulers.init_state(schedule, latents.shape, latents.dtype)
 
-    @jax.jit
+    @_jit
     def sample(params, latents, state, ctx, gs):
         def body(carry, i):
             lat, state = carry
@@ -109,7 +124,7 @@ def _build_e2e(sample, sample_args):
                                  jax.random.PRNGKey(0))
     clip_params = _params_like(clip_shapes)
 
-    @jax.jit
+    @_jit
     def encode(params, tokens):
         return clip.apply(params, tokens)
 
@@ -119,7 +134,7 @@ def _build_e2e(sample, sample_args):
         jax.random.PRNGKey(0))
     vae_params = _params_like(vae_shapes)
 
-    @jax.jit
+    @_jit
     def decode(params, latents):
         img = vae.apply(params, latents / 0.18215,
                         method=AutoencoderKL.decode)
@@ -178,7 +193,7 @@ def _serving_batch4(rounds: int = 3):
         jax.random.PRNGKey(0))
     vae_params = _params_like(vae_shapes)
 
-    @jax.jit
+    @_jit
     def decode(params, latents):
         img = vae.apply(params, latents / 0.18215,
                         method=AutoencoderKL.decode)

@@ -110,10 +110,17 @@ class FlexPipeline:
         (ops/ring_attention.py) — the ≥1024² multi-chip mode. Build one
         pipeline instance per mode; each instance owns its compiled programs.
         """
+        from flexdiffuse_tpu.utils.params import (cast_for_module,
+                                                  product_compiler_options)
+        copts = product_compiler_options()
         self.unet = unet
-        self.unet_params = unet_params
+        # Matmul/conv params pre-cast to the module's compute dtype:
+        # bit-identical to flax's per-use promote_dtype cast, but done once
+        # instead of every scan step (and halves weight HBM). fp32-compute
+        # modules (CPU tests) pass through untouched (utils/params.py).
+        self.unet_params = cast_for_module(unet_params, unet)
         self.vae = vae
-        self.vae_params = vae_params
+        self.vae_params = cast_for_module(vae_params, vae)
         self.scheduler_kind = scheduler
         self.scheduler_config = scheduler_config
         self._schedules: dict = {}
@@ -124,7 +131,8 @@ class FlexPipeline:
         self.sp_axis = sp_axis
         self.sp_min_seq = sp_min_seq
         self.controlnet = controlnet
-        self.controlnet_params = controlnet_params
+        self.controlnet_params = cast_for_module(controlnet_params,
+                                                 controlnet)
         controlnet_apply = controlnet.apply if controlnet is not None \
             else None
 
@@ -149,7 +157,8 @@ class FlexPipeline:
 
             self._sp_sharding = row_sharding
 
-        @functools.partial(jax.jit, static_argnames=('debug', 'inpaint'))
+        @functools.partial(jax.jit, static_argnames=('debug', 'inpaint'),
+                           compiler_options=copts)
         def _sample(unet_params, schedule, state0, guidance, latents,
                     t_start, eta, key, init_latents=None, mask=None,
                     control_cond=None, cn_params=None, cn_scale=1.0,
@@ -208,7 +217,7 @@ class FlexPipeline:
 
         self._sample = _sample
 
-        @jax.jit
+        @functools.partial(jax.jit, compiler_options=copts)
         def _encode(vae_params, pixels, key):
             mean, logvar = vae_apply(vae_params, pixels,
                                      method=type(vae).encode)
@@ -218,7 +227,7 @@ class FlexPipeline:
 
         self._encode = _encode
 
-        @jax.jit
+        @functools.partial(jax.jit, compiler_options=copts)
         def _decode(vae_params, latents):
             img = vae_apply(vae_params, latents / latent_scale,
                             method=type(vae).decode)
@@ -226,7 +235,7 @@ class FlexPipeline:
 
         self._decode = _decode
 
-        @jax.jit
+        @functools.partial(jax.jit, compiler_options=copts)
         def _decode_u8(vae_params, latents):
             # Quantize on device for the PIL path: 4× less device→host
             # traffic; same round-half-up as utils.image.to_pil.

@@ -254,8 +254,13 @@ def apply_lora(unet_params, text_params, lora_sd: Dict[str, np.ndarray],
                     f'LoRA targets missing param {"/".join(path)} — adapter '
                     'does not match this base model')
             kernel = np.asarray(node[leaf]['kernel'])
+            # Merge in fp32 regardless of storage dtype (product trees hold
+            # bf16 matmul kernels — utils/params.py), then cast back so the
+            # tree's dtype policy survives the merge.
+            orig_dtype = kernel.dtype
             delta = (up.astype(np.float64) @ down.astype(np.float64))
-            delta = (scale * a * delta).astype(kernel.dtype)
+            delta = (scale * a * delta).astype(np.float32)
+            kernel = kernel.astype(np.float32)
             if kernel.ndim == 2:               # Dense [in, out]
                 kernel = kernel + delta.T
             elif kernel.ndim == 4:             # 1×1 conv [1, 1, in, out]
@@ -263,7 +268,7 @@ def apply_lora(unet_params, text_params, lora_sd: Dict[str, np.ndarray],
             else:
                 raise ValueError(
                     f'unsupported kernel rank at {"/".join(path)}')
-            node[leaf] = dict(node[leaf], kernel=kernel)
+            node[leaf] = dict(node[leaf], kernel=kernel.astype(orig_dtype))
         return params
 
     if text2_params is not None:

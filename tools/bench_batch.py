@@ -30,7 +30,9 @@ def bench(batch: int) -> dict:
                             jnp.zeros((2 * batch,)), ctx),
         jax.random.PRNGKey(0))
     params = jax.tree_util.tree_map(
-        lambda s: jnp.full(s.shape, 1e-3, s.dtype), shapes)
+        lambda s: jnp.full(s.shape, 1e-3,
+                           jnp.bfloat16 if len(s.shape) >= 2 else s.dtype),
+        shapes)
     schedule = schedulers.make('pndm', STEPS)
     state0 = schedulers.init_state(schedule, latents.shape, latents.dtype)
 

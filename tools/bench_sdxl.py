@@ -47,7 +47,9 @@ def measure(verbose: bool = True) -> dict:
         lambda k: unet.init(k, jnp.zeros((2, hw, hw, 4)), jnp.zeros((2,)),
                             ctx, added), jax.random.PRNGKey(0))
     params = jax.tree_util.tree_map(
-        lambda s: jnp.full(s.shape, 1e-3, s.dtype), shapes)
+        lambda s: jnp.full(s.shape, 1e-3,
+                           jnp.bfloat16 if len(s.shape) >= 2 else s.dtype),
+        shapes)
     if verbose:
         nparams = sum(x.size for x in jax.tree_util.tree_leaves(params))
         print(f'params: {nparams:,}')

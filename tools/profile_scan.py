@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import collections
 import glob
+import os
 import re
 import sys
 import tempfile
@@ -32,6 +33,9 @@ def capture(trace_dir: str) -> None:
                             ctx), jax.random.PRNGKey(0))
     params = jax.tree_util.tree_map(
         lambda s: jnp.full(s.shape, 1e-3, s.dtype), shapes)
+    if os.environ.get('BF16_MM'):  # pre-cast matmul/conv params (bit-ident.)
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if a.ndim >= 2 else a, params)
     schedule = schedulers.make('pndm', 12)
     state0 = schedulers.init_state(schedule, latents.shape, latents.dtype)
 
