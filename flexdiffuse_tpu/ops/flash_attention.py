@@ -66,6 +66,9 @@ def _flash_stream_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
         o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
+LOG2E = 1.4426950408889634
+
+
 def _flash_tt_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
                      block_k: int, unroll: int = 2):
     """Transposed-operand kernel: refs are ``[1, d, s]`` (head-dim in
@@ -90,32 +93,45 @@ def _flash_tt_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     kv loop) and P·V streams v with its contraction minor; softmax stats are
     lane-reduced ``[bq, 1]`` columns with one vector transpose per block for
     the acc rescale.
+
+    With the tt orientation the kernel's own MXU-cycle mix supports
+    ~94 TFLOP/s, so it is VPU-(softmax-)bound; two VPU passes per element
+    are therefore folded away (tools/flash_tt3.py step A/B: −3.4% whole-
+    forward at the CFG shape):
+
+    * **sum-fold** — a ones-row appended to each streamed V block makes row
+      d of the P·V output the row-sum of P, so the separate lane-reduce of p
+      (and the l carry) disappears; the MXU pays one extra sublane row.
+    * **exp2** — ``log2(e)`` is pre-folded into the q scaling so the softmax
+      transcendental is a bare exp2 (exp lowers to exp2 + a per-element
+      multiply on this VPU).
     """
-    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)          # [d, bq]
+    q = q_ref[0] * jnp.asarray(scale * LOG2E, q_ref.dtype)  # [d, bq]
     d, bq = q.shape
     skv = k_ref.shape[2]
     num_kv = skv // block_k
 
+    ones_row = jnp.ones((1, block_k), v_ref.dtype)
+
     def body(j, carry):
-        acc, m, l = carry                                   # [d,bq],[bq,1]×2
+        acc, m = carry                             # [d+1, bq], [bq, 1]
         kb = k_ref[0, :, pl.ds(j * block_k, block_k)]       # [d, bk]
         vb = v_ref[0, :, pl.ds(j * block_k, block_k)]
         s = jax.lax.dot_general(q, kb, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [bq,bk]
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)                          # [bq, 1]
-        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m - m_new)                         # [bq, 1]
+        vb = jnp.concatenate([vb, ones_row], axis=0)        # [d+1, bk]
         pv = jax.lax.dot_general(vb, p.astype(vb.dtype),
                                  (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)  # [d,bq]
-        acc = acc * alpha.T + pv
-        return acc, m_new, l
+                                 preferred_element_type=jnp.float32)
+        acc = acc * alpha.T + pv                            # [d+1, bq]
+        return acc, m_new
 
-    acc = jnp.zeros((d, bq), jnp.float32)
+    acc = jnp.zeros((d + 1, bq), jnp.float32)
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    carry = (acc, m0, l0)
+    carry = (acc, m0)
     unroll = min(unroll, num_kv)
     while num_kv % unroll:
         unroll -= 1
@@ -128,8 +144,8 @@ def _flash_tt_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
                 carry = body(jj * unroll + u, carry)
             return carry
         carry = jax.lax.fori_loop(0, num_kv // unroll, outer, carry)
-    acc, m, l = carry
-    o_ref[0] = (acc / l.T).astype(o_ref.dtype)
+    acc, m = carry
+    o_ref[0] = (acc[:d] / acc[d:d + 1]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,

@@ -5,6 +5,7 @@ traffic across images. Run: ``python tools/bench_batch.py``.
 """
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -36,7 +37,10 @@ def bench(batch: int) -> dict:
     schedule = schedulers.make('pndm', STEPS)
     state0 = schedulers.init_state(schedule, latents.shape, latents.dtype)
 
-    @jax.jit
+    from flexdiffuse_tpu.utils.params import product_compiler_options
+
+    @functools.partial(jax.jit,
+                       compiler_options=product_compiler_options())
     def sample(params, latents, state, ctx, gs):
         def body(carry, i):
             lat, state = carry

@@ -6,6 +6,7 @@ DPM-Solver++ update per step in one ``lax.scan``. Fetch-timed (see
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -57,7 +58,10 @@ def measure(verbose: bool = True) -> dict:
     schedule = schedulers.make('dpmpp', STEPS)
     state0 = schedulers.init_state(schedule, latents.shape, latents.dtype)
 
-    @jax.jit
+    from flexdiffuse_tpu.utils.params import product_compiler_options
+
+    @functools.partial(jax.jit,
+                       compiler_options=product_compiler_options())
     def sample(params, latents, state, ctx, added, gs):
         def body(carry, i):
             lat, state = carry

@@ -145,8 +145,8 @@ def step_ab():
 
     variants = {
         'base': orig,
-        'exp2': make_variant(sum_fold=False),
         'v3': make_variant(sum_fold=True),
+        'v4': make_variant(sum_fold=True, bf16_p=True),
     }
     unet = UNet2DCondition(SD14_UNET, dtype=jnp.bfloat16)
     lat = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 4),
@@ -155,12 +155,24 @@ def step_ab():
     shapes = jax.eval_shape(
         lambda k: unet.init(k, lat, jnp.zeros((2,)), ctx),
         jax.random.PRNGKey(0))
-    params = cast_matmul_params(jax.tree_util.tree_map(
-        lambda s: jnp.full(s.shape, 1e-3, s.dtype), shapes))
+    # Random params (not constant fill): constant weights collapse the
+    # attention scores to near-degenerate values that can hide real numeric
+    # differences between softmax variants.
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    params = cast_matmul_params(jax.tree_util.tree_unflatten(treedef, [
+        jax.random.normal(kk, s.shape, s.dtype) * 0.02
+        for kk, s in zip(keys, leaves)]))
 
     ref = None
     for label, impl in variants.items():
         fa.flash_attention_tt = impl
+        # flash_attention is itself jitted and its cached trace inlines the
+        # kernel; clear_cache() on it is NOT enough — pjit keeps a separate
+        # tracing-level cache that survives it when the call happens under an
+        # outer trace (diagnosed: max|d| = 0 across variants that must
+        # differ). Nuke everything between variants.
+        jax.clear_caches()
         try:
             @jax.jit
             def chain(params, lat, ctx):
