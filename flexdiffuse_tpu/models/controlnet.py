@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from flexdiffuse_tpu.models.configs import UNetConfig
-from flexdiffuse_tpu.models.unet import embed_timestep, run_down_mid
+from flexdiffuse_tpu.models.unet import (embed_timestep, resolve_approx_gelu,
+                                         resolve_channel_major, run_down_mid)
 
 Array = jax.Array
 
@@ -71,6 +72,10 @@ class ControlNetModel(nn.Module):
     # latent resolution gap (SD: ÷8 → the 4-entry default; tiny test VAEs
     # use shorter ramps).
     cond_channels: Tuple[int, ...] = COND_EMBED_CHANNELS
+    # Transformer-interior orientation / gelu flavor (models/unet.py);
+    # None → auto.
+    channel_major: Optional[bool] = None
+    approx_gelu: Optional[bool] = None
 
     @nn.compact
     def __call__(self, latents: Array, t: Array, context: Array,
@@ -89,8 +94,10 @@ class ControlNetModel(nn.Module):
                                           dtype=self.dtype,
                                           name='cond_embed')(cond)
         h = h + jnp.broadcast_to(cond_feat, h.shape)
-        h, skips = run_down_mid(cfg, h, temb, context, self.dtype,
-                                self.norm_dtype)
+        h, skips = run_down_mid(
+            cfg, h, temb, context, self.dtype, self.norm_dtype,
+            channel_major=resolve_channel_major(self.channel_major),
+            approx_gelu=resolve_approx_gelu(self.approx_gelu, self.dtype))
 
         scale = jnp.asarray(scale, self.dtype)
         down_res = tuple(

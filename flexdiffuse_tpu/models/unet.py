@@ -29,9 +29,80 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from flexdiffuse_tpu.models.configs import UNetConfig
-from flexdiffuse_tpu.ops.attention import attention
+from flexdiffuse_tpu.ops.attention import attention, attention_cm
 
 Array = jax.Array
+
+
+# Channel-major interiors engage only where the flash kernel does (the
+# relayout economics flip below it — tiny levels stay standard/NHWC).
+CM_MIN_SEQ = 1024
+
+
+class DenseCM(nn.Module):
+    """``nn.Dense`` over **channel-major** activations ``[C_in, B·S]``.
+
+    The channel-major transformer blocks keep the feature dim outermost and
+    batch·sequence flattened minor — the memory layout XLA already picks
+    around the flash kernel, but expressed as the logical shape so the dots
+    avoid the output-batch-in-lanes emitters (up to 6× slower at SD's
+    level-0 shapes, profiled in docs/PERFORMANCE.md). Param names/shapes are
+    identical to ``nn.Dense`` (kernel ``[in, out]``, bias ``[out]``) so
+    checkpoints, LoRA, and the converters are unaffected.
+    """
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (x.shape[0], self.features))
+        bias = (self.param('bias', nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        # [o, c] × [c, b·s] → [o, b·s]
+        y = jax.lax.dot_general(kernel.T, x, (((1,), (0,)), ((), ())))
+        if bias is not None:
+            y = y + bias[:, None]
+        return y
+
+
+class Conv1x1CM(nn.Module):
+    """1×1 conv as a channel-major boundary dot (the transformer's
+    ``proj_in``/``proj_out``). Param names/shapes match ``nn.Conv(f, (1, 1))``
+    — kernel ``[1, 1, C_in, C_out]``, bias ``[C_out]``.
+
+    ``to_cm=True``: ``[B·S, C_in] → [C_out, B·S]`` (entry). ``to_cm=False``:
+    ``[C_in, B·S] → [B·S, C_out]`` (exit) — computed as a fast channel-major
+    dot plus one explicit relayout behind an optimization barrier: the
+    barrier stops the simplifier folding the transpose back into the dot
+    (which recreates the slow transposed-output emitter this path exists to
+    avoid), and the standalone relayout fuses into the consumer-side
+    residual add.
+    """
+    features: int
+    to_cm: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_ch = x.shape[-1] if self.to_cm else x.shape[0]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (1, 1, in_ch, self.features))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        w = kernel.reshape(in_ch, self.features)
+        if self.to_cm:
+            # [c, o] × [b·s, c] → [o, b·s]
+            y = jax.lax.dot_general(w, x, (((0,), (1,)), ((), ())))
+            return y + bias[:, None]
+        # [o, c] × [c, b·s] → [o, b·s] (fast), then rotate to [b·s, o]
+        y = jax.lax.dot_general(w.T, x, (((1,), (0,)), ((), ())))
+        y = jax.lax.optimization_barrier(y + bias[:, None])
+        return y.T
 
 
 def timestep_embedding(t: Array, dim: int, max_period: float = 10000.0,
@@ -84,11 +155,18 @@ class CrossAttention(nn.Module):
     # extra to_k_ip/to_v_ip projections attend over projected image tokens,
     # added to the text-attention output scaled by ``ip_scale``.
     ip_adapter: bool = False
+    # Channel-major mode: x is [C, B·S] and all projections/attention stay
+    # in that orientation (see DenseCM). Contexts remain [B, Skv, C_ctx] and
+    # rotate once (tiny and loop-invariant). ``batch`` carries B (the head
+    # split [H, D, B, S] is a pure bitcast of [C, B·S]).
+    channel_major: bool = False
 
     @nn.compact
     def __call__(self, x: Array, context: Optional[Array],
                  ip_ctx: Optional[Array] = None,
-                 ip_scale: Array = 1.0) -> Array:
+                 ip_scale: Array = 1.0, batch: int = 1) -> Array:
+        if self.channel_major:
+            return self._call_cm(x, context, ip_ctx, ip_scale, batch)
         ctx = x if context is None else context.astype(self.dtype)
         d = self.query_dim
         h = self.num_heads
@@ -114,18 +192,70 @@ class CrossAttention(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(b, sq, d)
         return nn.Dense(d, name='to_out', dtype=self.dtype)(out)
 
+    def _call_cm(self, x: Array, context: Optional[Array],
+                 ip_ctx: Optional[Array], ip_scale: Array,
+                 b: int) -> Array:
+        """Channel-major forward: ``x [C, B·S] → [C, B·S]``; the head
+        split/merge to ``[H, D, B, S]`` is a pure bitcast and the flash
+        kernel consumes the operands as laid out."""
+        d = self.query_dim
+        h = self.num_heads
+        hd = d // h
+        dense = lambda name: DenseCM(d, use_bias=False, name=name,
+                                     dtype=self.dtype)
+        if context is None:
+            src = x
+            skv = x.shape[1] // b
+        else:
+            # [B, Skv, C_ctx] → [C_ctx, B·Skv]: tiny and loop-invariant.
+            skv = context.shape[1]
+            src = context.astype(self.dtype).transpose(2, 0, 1).reshape(
+                context.shape[2], b * skv)
+        q = dense('to_q')(x)
+        k = dense('to_k')(src)
+        v = dense('to_v')(src)
+        sq = q.shape[1] // b
+        split = lambda t, s: t.reshape(h, hd, b, s)
+        qh = split(q, sq)
+        out = attention_cm(qh, split(k, skv), split(v, skv), scale=hd**-0.5)
+        if self.ip_adapter and context is not None and ip_ctx is not None:
+            s_ip = ip_ctx.shape[1]
+            ip = ip_ctx.astype(self.dtype).transpose(2, 0, 1).reshape(
+                ip_ctx.shape[2], b * s_ip)
+            k_ip = DenseCM(d, use_bias=False, name='to_k_ip',
+                           dtype=self.dtype)(ip)
+            v_ip = DenseCM(d, use_bias=False, name='to_v_ip',
+                           dtype=self.dtype)(ip)
+            out_ip = attention_cm(qh, split(k_ip, s_ip), split(v_ip, s_ip),
+                                  scale=hd**-0.5)
+            out = out + jnp.asarray(ip_scale, out.dtype) * out_ip
+        out = out.reshape(d, b * sq)
+        return DenseCM(d, name='to_out', dtype=self.dtype)(out)
+
 
 class FeedForwardGEGLU(nn.Module):
     dim: int
     dtype: jnp.dtype = jnp.float32
+    channel_major: bool = False
+    # tanh-approximated gelu: |Δ| ≤ 4.8e-4 absolute vs erf (measured over
+    # a dense grid) — about one bf16 ulp of unit-scale activations and ~2 VPU-
+    # transcendental passes cheaper. The GEGLU gelu is ~1.3 ms/step of pure
+    # VPU time at SD-1.4 512² with erf (profiled); auto-enabled for bf16
+    # compute on TPU, exact erf elsewhere (UNet2DCondition.approx_gelu).
+    approx_gelu: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         inner = self.dim * 4
+        if self.channel_major:  # x: [C, B·S]; feature dim is axis 0
+            proj = DenseCM(inner * 2, name='proj_in', dtype=self.dtype)(x)
+            gate, val = jnp.split(proj, 2, axis=0)
+            x = gate * nn.gelu(val, approximate=self.approx_gelu)
+            return DenseCM(self.dim, name='proj_out', dtype=self.dtype)(x)
         proj = nn.Dense(inner * 2, name='proj_in', dtype=self.dtype)(x)
         gate, val = jnp.split(proj, 2, axis=-1)
         # diffusers GEGLU order: (value, gate) with gelu on the gate half.
-        x = gate * nn.gelu(val, approximate=False)
+        x = gate * nn.gelu(val, approximate=self.approx_gelu)
         return nn.Dense(self.dim, name='proj_out', dtype=self.dtype)(x)
 
 
@@ -134,21 +264,35 @@ class BasicTransformerBlock(nn.Module):
     num_heads: int
     dtype: jnp.dtype = jnp.float32
     ip_adapter: bool = False
+    # Channel-major mode: activations flow as [C, B·S] through the whole
+    # block (LayerNorm reduces over axis 0; params unchanged — [C] vectors).
+    channel_major: bool = False
+    approx_gelu: bool = False
 
     @nn.compact
     def __call__(self, x: Array, context: Array,
                  ip_ctx: Optional[Array] = None,
-                 ip_scale: Array = 1.0) -> Array:
-        ln = lambda name: nn.LayerNorm(epsilon=1e-5, name=name,
-                                       dtype=self.dtype)
+                 ip_scale: Array = 1.0, batch: int = 1) -> Array:
+        cm = self.channel_major
+        if cm:
+            ln = lambda name: nn.LayerNorm(epsilon=1e-5, name=name,
+                                           dtype=self.dtype,
+                                           reduction_axes=0, feature_axes=0)
+        else:
+            ln = lambda name: nn.LayerNorm(epsilon=1e-5, name=name,
+                                           dtype=self.dtype)
         x = x + CrossAttention(self.dim, self.num_heads, name='attn1',
-                               dtype=self.dtype)(ln('norm1')(x), None)
+                               dtype=self.dtype, channel_major=cm)(
+                                   ln('norm1')(x), None, batch=batch)
         x = x + CrossAttention(self.dim, self.num_heads, name='attn2',
-                               dtype=self.dtype,
+                               dtype=self.dtype, channel_major=cm,
                                ip_adapter=self.ip_adapter)(
-                                   ln('norm2')(x), context, ip_ctx, ip_scale)
-        x = x + FeedForwardGEGLU(self.dim, name='ff',
-                                 dtype=self.dtype)(ln('norm3')(x))
+                                   ln('norm2')(x), context, ip_ctx, ip_scale,
+                                   batch=batch)
+        x = x + FeedForwardGEGLU(self.dim, name='ff', dtype=self.dtype,
+                                 channel_major=cm,
+                                 approx_gelu=self.approx_gelu)(
+                                     ln('norm3')(x))
         return x
 
 
@@ -159,6 +303,12 @@ class Transformer2D(nn.Module):
     norm_groups: int
     dtype: jnp.dtype = jnp.float32
     ip_adapter: bool = False
+    # Channel-major interior: rotate into [C, B·S] at proj_in and back at
+    # proj_out (the only two boundary rotations), so every dot between
+    # them runs the standard MXU emitter and the flash kernel I/O needs no
+    # relayout. Param tree identical to the standard path.
+    channel_major: bool = False
+    approx_gelu: bool = False
 
     @nn.compact
     def __call__(self, x: Array, context: Array,
@@ -168,6 +318,21 @@ class Transformer2D(nn.Module):
         residual = x
         h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, name='norm',
                          dtype=jnp.float32)(x).astype(self.dtype)
+        if self.channel_major and hh * ww >= CM_MIN_SEQ:
+            h = Conv1x1CM(self.channels, to_cm=True, name='proj_in',
+                          dtype=self.dtype)(h.reshape(b * hh * ww, c))
+            for i in range(self.depth):
+                h = BasicTransformerBlock(self.channels, self.num_heads,
+                                          name=f'blocks_{i}',
+                                          dtype=self.dtype,
+                                          channel_major=True,
+                                          approx_gelu=self.approx_gelu,
+                                          ip_adapter=self.ip_adapter)(
+                                              h, context, ip_ctx, ip_scale,
+                                              batch=b)
+            h = Conv1x1CM(self.channels, to_cm=False, name='proj_out',
+                          dtype=self.dtype)(h)
+            return h.reshape(b, hh, ww, c) + residual
         h = nn.Conv(self.channels, (1, 1), name='proj_in',
                     dtype=self.dtype)(h)
         h = h.reshape(b, hh * ww, c)
@@ -175,6 +340,7 @@ class Transformer2D(nn.Module):
             h = BasicTransformerBlock(self.channels, self.num_heads,
                                       name=f'blocks_{i}',
                                       dtype=self.dtype,
+                                      approx_gelu=self.approx_gelu,
                                       ip_adapter=self.ip_adapter)(
                                           h, context, ip_ctx, ip_scale)
         h = h.reshape(b, hh, ww, c)
@@ -235,8 +401,26 @@ def embed_timestep(cfg: UNetConfig, t: Array, added_cond, dtype) -> Array:
     return temb
 
 
+def resolve_channel_major(flag) -> bool:
+    """``None`` → auto: channel-major transformer interiors on TPU (where
+    the relayout economics are measured), standard elsewhere."""
+    if flag is None:
+        return jax.default_backend() == 'tpu'
+    return bool(flag)
+
+
+def resolve_approx_gelu(flag, dtype) -> bool:
+    """``None`` → auto: tanh-gelu for bf16 compute on TPU (|Δ| ≤ 4.8e-4
+    absolute — about one bf16 ulp of unit-scale activations; ~1 ms/step of VPU erf time
+    at SD-1.4 512², docs/PERFORMANCE.md), exact erf for fp32 / off-TPU."""
+    if flag is None:
+        return dtype == jnp.bfloat16 and jax.default_backend() == 'tpu'
+    return bool(flag)
+
+
 def run_down_mid(cfg: UNetConfig, h: Array, temb: Array, context: Array,
-                 dtype, norm_dtype, ip_ctx=None, ip_scale=1.0):
+                 dtype, norm_dtype, ip_ctx=None, ip_scale=1.0,
+                 channel_major: bool = False, approx_gelu: bool = False):
     """The UNet's down + mid path; returns ``(h_mid, skip_states)``.
 
     Shared verbatim (blocks AND names) between :class:`UNet2DCondition` and
@@ -254,6 +438,8 @@ def run_down_mid(cfg: UNetConfig, h: Array, temb: Array, context: Array,
                 h = Transformer2D(ch, cfg.heads_for(ch), cfg.depth_at(i),
                                   cfg.norm_groups, dtype=dtype,
                                   ip_adapter=cfg.ip_adapter,
+                                  channel_major=channel_major,
+                                  approx_gelu=approx_gelu,
                                   name=f'down_{i}_attn_{j}')(
                                       h, context, ip_ctx, ip_scale)
             skips.append(h)
@@ -268,6 +454,7 @@ def run_down_mid(cfg: UNetConfig, h: Array, temb: Array, context: Array,
     h = Transformer2D(mid_ch, cfg.heads_for(mid_ch),
                       cfg.depth_mid(), cfg.norm_groups,
                       dtype=dtype, ip_adapter=cfg.ip_adapter,
+                      channel_major=channel_major, approx_gelu=approx_gelu,
                       name='mid_attn')(h, context, ip_ctx, ip_scale)
     h = ResnetBlock(mid_ch, cfg.norm_groups, dtype=dtype,
                     norm_dtype=norm_dtype, name='mid_res_1')(h, temb)
@@ -281,6 +468,14 @@ class UNet2DCondition(nn.Module):
     dtype: jnp.dtype = jnp.float32
     # Normalization compute dtype; fp32 by default for stat stability.
     norm_dtype: jnp.dtype = jnp.float32
+    # Transformer-interior orientation (see Transformer2D.channel_major):
+    # None → auto (channel-major on TPU, standard elsewhere). FlexPipeline
+    # forces False under sequence parallelism (the SP GSPMD/ring rules are
+    # written for the standard orientation).
+    channel_major: Optional[bool] = None
+    # GEGLU gelu flavor: None → auto (tanh approximation for bf16-on-TPU,
+    # exact erf otherwise); see resolve_approx_gelu.
+    approx_gelu: Optional[bool] = None
 
     @nn.compact
     def __call__(self, latents: Array, t: Array, context: Array,
@@ -293,13 +488,16 @@ class UNet2DCondition(nn.Module):
         onto the saved skip states and the mid output
         (models/controlnet.py)."""
         cfg = self.config
+        cm = resolve_channel_major(self.channel_major)
+        ag = resolve_approx_gelu(self.approx_gelu, self.dtype)
         temb = embed_timestep(cfg, t, added_cond, self.dtype)
 
         x = latents.astype(self.dtype)
         h = nn.Conv(cfg.block_channels[0], (3, 3), padding=1, name='conv_in',
                     dtype=self.dtype)(x)
         h, skips = run_down_mid(cfg, h, temb, context, self.dtype,
-                                self.norm_dtype, ip_ctx, ip_scale)
+                                self.norm_dtype, ip_ctx, ip_scale,
+                                channel_major=cm, approx_gelu=ag)
         num_levels = len(cfg.block_channels)
 
         if control is not None:
@@ -325,6 +523,7 @@ class UNet2DCondition(nn.Module):
                                       cfg.depth_at(level), cfg.norm_groups,
                                       dtype=self.dtype,
                                       ip_adapter=cfg.ip_adapter,
+                                      channel_major=cm, approx_gelu=ag,
                                       name=f'up_{i}_attn_{j}')(
                                           h, context, ip_ctx, ip_scale)
             if i != num_levels - 1:

@@ -137,3 +137,53 @@ def attention(q: Array, k: Array, v: Array,
         from flexdiffuse_tpu.ops.flash_attention import flash_attention
         return flash_attention(q, k, v, scale)
     return xla_attention(q, k, v, scale)
+
+
+def xla_attention_cm(q: Array, k: Array, v: Array, scale: float) -> Array:
+    """XLA attention over channel-major ``[H, D, B, S]`` operands."""
+    logits = jnp.einsum('hdbq,hdbk->hbqk', q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum('hbqk,hdbk->hdbq', probs, v)
+
+
+def attention_cm(q: Array, k: Array, v: Array,
+                 scale: Optional[float] = None,
+                 backend: Optional[str] = None) -> Array:
+    """Multi-head attention over **channel-major** operands:
+    ``[H, D, B, Sq] × [H, D, B, Skv] → [H, D, B, Sq]``.
+
+    The layout the channel-major transformer blocks (models/unet.py) keep
+    activations in — head-dim outermost, sequence minor — which is exactly
+    the flash kernel's native operand layout, so the hot path has no
+    relayout on either side of the custom call. Dispatch rules mirror
+    :func:`attention`.
+    """
+    if scale is None:
+        scale = q.shape[1]**-0.5
+    if _SP.get() is not None:
+        # Sequence-parallel generation never builds channel-major blocks
+        # (FlexPipeline forces channel_major=False under sp_mesh); if user
+        # code lands here anyway, route through the standard path where the
+        # ring/GSPMD rules live.
+        std = attention(q.transpose(2, 0, 3, 1), k.transpose(2, 0, 3, 1),
+                        v.transpose(2, 0, 3, 1), scale, backend)
+        return std.transpose(1, 3, 0, 2)
+    if backend is None:
+        backend = _BACKEND.get()
+    else:
+        _validate(backend)
+    sq, skv = q.shape[-1], k.shape[-1]
+    big = sq >= FLASH_MIN_SEQ and skv >= FLASH_MIN_SEQ
+    divisible = sq % 128 == 0 and skv % 128 == 0
+    narrow = q.shape[1] <= 128
+    eligible = big and divisible and narrow
+    if backend == 'auto':
+        backend = ('flash'
+                   if jax.default_backend() == 'tpu' and eligible else 'xla')
+    elif backend == 'flash' and not eligible:
+        backend = 'xla'
+    if backend == 'flash':
+        from flexdiffuse_tpu.ops.flash_attention import flash_attention_cm
+        return flash_attention_cm(q, k, v, scale)
+    return xla_attention_cm(q, k, v, scale)

@@ -69,6 +69,52 @@ def _flash_stream_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
 LOG2E = 1.4426950408889634
 
 
+def _tt_body(q, load_k, load_v, *, block_k: int, num_kv: int, unroll: int):
+    """Shared transposed-operand online-softmax loop.
+
+    ``q`` is the pre-scaled ``[d, bq]`` query block; ``load_k(j)`` /
+    ``load_v(j)`` return the j-th ``[d, block_k]`` K/V block. Returns the
+    normalized ``[d, bq]`` output block (see :func:`_flash_tt_kernel` for
+    the math and the sum-fold/exp2 VPU folds).
+    """
+    d, bq = q.shape
+    ones_row = None
+
+    def body(j, carry):
+        acc, m = carry                             # [d+1, bq], [bq, 1]
+        kb = load_k(j)                                      # [d, bk]
+        vb = load_v(j)
+        s = jax.lax.dot_general(q, kb, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [bq,bk]
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m - m_new)                         # [bq, 1]
+        vb = jnp.concatenate([vb, jnp.ones((1, block_k), vb.dtype)], axis=0)
+        pv = jax.lax.dot_general(vb, p.astype(vb.dtype),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc = acc * alpha.T + pv                            # [d+1, bq]
+        return acc, m_new
+
+    acc = jnp.zeros((d + 1, bq), jnp.float32)
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    carry = (acc, m0)
+    unroll = min(unroll, num_kv)
+    while num_kv % unroll:
+        unroll -= 1
+    if num_kv == unroll:
+        for j in range(num_kv):
+            carry = body(j, carry)
+    else:
+        def outer(jj, carry):
+            for u in range(unroll):
+                carry = body(jj * unroll + u, carry)
+            return carry
+        carry = jax.lax.fori_loop(0, num_kv // unroll, outer, carry)
+    acc, _ = carry
+    return acc[:d] / acc[d:d + 1]
+
+
 def _flash_tt_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
                      block_k: int, unroll: int = 2):
     """Transposed-operand kernel: refs are ``[1, d, s]`` (head-dim in
@@ -107,45 +153,14 @@ def _flash_tt_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
       multiply on this VPU).
     """
     q = q_ref[0] * jnp.asarray(scale * LOG2E, q_ref.dtype)  # [d, bq]
-    d, bq = q.shape
-    skv = k_ref.shape[2]
-    num_kv = skv // block_k
+    out = _tt_body(q,
+                   lambda j: k_ref[0, :, pl.ds(j * block_k, block_k)],
+                   lambda j: v_ref[0, :, pl.ds(j * block_k, block_k)],
+                   block_k=block_k, num_kv=k_ref.shape[2] // block_k,
+                   unroll=unroll)
+    o_ref[0] = out.astype(o_ref.dtype)
 
-    ones_row = jnp.ones((1, block_k), v_ref.dtype)
 
-    def body(j, carry):
-        acc, m = carry                             # [d+1, bq], [bq, 1]
-        kb = k_ref[0, :, pl.ds(j * block_k, block_k)]       # [d, bk]
-        vb = v_ref[0, :, pl.ds(j * block_k, block_k)]
-        s = jax.lax.dot_general(q, kb, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # [bq,bk]
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp2(s - m_new)
-        alpha = jnp.exp2(m - m_new)                         # [bq, 1]
-        vb = jnp.concatenate([vb, ones_row], axis=0)        # [d+1, bk]
-        pv = jax.lax.dot_general(vb, p.astype(vb.dtype),
-                                 (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        acc = acc * alpha.T + pv                            # [d+1, bq]
-        return acc, m_new
-
-    acc = jnp.zeros((d + 1, bq), jnp.float32)
-    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    carry = (acc, m0)
-    unroll = min(unroll, num_kv)
-    while num_kv % unroll:
-        unroll -= 1
-    if num_kv == unroll:
-        for j in range(num_kv):
-            carry = body(j, carry)
-    else:
-        def outer(jj, carry):
-            for u in range(unroll):
-                carry = body(jj * unroll + u, carry)
-            return carry
-        carry = jax.lax.fori_loop(0, num_kv // unroll, outer, carry)
-    acc, m = carry
-    o_ref[0] = (acc[:d] / acc[d:d + 1]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -194,6 +209,66 @@ def flash_attention_tt(q: Array, k: Array, v: Array, scale: float,
         interpret=interpret,
     )(qf, kf, vf)
     return out.reshape(b, h, d, sq)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('scale', 'block_q', 'block_k',
+                                    'interpret'))
+def flash_attention_cm(q: Array, k: Array, v: Array, scale: float,
+                       block_q: int = 512, block_k: int = 512,
+                       interpret: bool | None = None) -> Array:
+    """``[H, D, B, Sq] × [H, D, B, Skv] → [H, D, B, Sq]`` flash attention
+    over channel-major operands (the layout the channel-major transformer
+    blocks keep all activations in — models/unet.py).
+
+    The trailing ``(B, S)`` dims are contiguous, so they flatten to one
+    ``B·S`` axis by pure bitcast and the grid walks ``(head, q-block)`` with
+    the q-block index selecting its batch's K/V slab in the index map
+    (q blocks never straddle batches — ``Sq % block_q == 0``). This reuses
+    :func:`_flash_tt_kernel` verbatim: block contents are identical to the
+    tt path, so outputs are bitwise equal; no transpose or relayout touches
+    either side of the custom call."""
+    h, d, b, sq = q.shape
+    skv = k.shape[3]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, skv)
+    while block_q > 128 and sq % block_q:
+        block_q //= 2
+    while block_k > 128 and skv % block_k:
+        block_k //= 2
+    if sq % block_q or skv % block_k:
+        raise ValueError(f'sequence ({sq}, {skv}) not divisible by blocks '
+                         f'({block_q}, {block_k})')
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+
+    qf = q.reshape(h, d, b * sq)
+    kf = k.reshape(h, d, b * skv)
+    vf = v.reshape(h, d, b * skv)
+    qb_per_batch = sq // block_q
+    kv_bytes = 4 * skv * max(d, 8) * jnp.dtype(k.dtype).itemsize
+    unroll = (skv // block_k
+              if b * h <= 16 and kv_bytes <= 4 * 1024 * 1024 else 2)
+    out = pl.pallas_call(
+        functools.partial(_flash_tt_kernel, scale=scale, block_k=block_k,
+                          unroll=unroll),
+        grid=(h, b * qb_per_batch),
+        in_specs=[
+            pl.BlockSpec((1, d, block_q), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, skv),
+                         lambda i, j: (i, 0, j // qb_per_batch),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, skv),
+                         lambda i, j: (i, 0, j // qb_per_batch),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, d, block_q), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, d, b * sq), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(h, d, b, sq)
 
 
 # Full-K/V-resident kernel cap: 2 tensors × 2 pipeline buffers × skv ×

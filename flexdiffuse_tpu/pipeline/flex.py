@@ -113,6 +113,15 @@ class FlexPipeline:
         from flexdiffuse_tpu.utils.params import (cast_for_module,
                                                   product_compiler_options)
         copts = product_compiler_options()
+        if sp_mesh is not None:
+            # Sequence parallelism partitions the standard NHWC/[B,S,C]
+            # orientation (GSPMD halo/ring rules); the channel-major
+            # interior is a single-chip layout optimization — force it off.
+            if getattr(unet, 'channel_major', False) is not False:
+                unet = unet.clone(channel_major=False)
+            if (controlnet is not None and
+                    getattr(controlnet, 'channel_major', False) is not False):
+                controlnet = controlnet.clone(channel_major=False)
         self.unet = unet
         # Matmul/conv params pre-cast to the module's compute dtype:
         # bit-identical to flax's per-use promote_dtype cast, but done once

@@ -26,6 +26,10 @@ def main(out_path: str = '/tmp/sd14_scan_hlo.txt') -> None:
                             ctx), jax.random.PRNGKey(0))
     params = jax.tree_util.tree_map(
         lambda s: jnp.full(s.shape, 1e-3, s.dtype), shapes)
+    import os
+    if os.environ.get('BF16_MM'):  # match tools/profile_scan.py BF16_MM=1
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if a.ndim >= 2 else a, params)
     schedule = schedulers.make('pndm', 12)
     state0 = schedulers.init_state(schedule, latents.shape, latents.dtype)
 
@@ -45,7 +49,9 @@ def main(out_path: str = '/tmp/sd14_scan_hlo.txt') -> None:
         return lat
 
     args = (params, latents, state0, ctx, jnp.float32(8.0))
-    compiled = jax.jit(sample).lower(*args).compile()
+    from flexdiffuse_tpu.utils.params import product_compiler_options
+    compiled = jax.jit(sample).lower(*args).compile(
+        compiler_options=product_compiler_options())
     text = compiled.as_text()
     with open(out_path, 'w') as f:
         f.write(text)

@@ -25,7 +25,11 @@ def capture(trace_dir: str) -> None:
     from flexdiffuse_tpu import schedulers
     from flexdiffuse_tpu.models import SD14_UNET, UNet2DCondition
 
-    unet = UNet2DCondition(SD14_UNET, dtype=jnp.bfloat16)
+    # CM=1 → channel-major, CM=0 → standard, unset → auto (models/unet.py).
+    cm_env = os.environ.get('CM')
+    unet = UNet2DCondition(
+        SD14_UNET, dtype=jnp.bfloat16,
+        channel_major=None if cm_env is None else cm_env == '1')
     latents = jnp.zeros((1, 64, 64, 4), jnp.float32)
     ctx = jnp.zeros((2, 77, 768), jnp.float32)
     shapes = jax.eval_shape(
@@ -100,7 +104,8 @@ def analyze(trace_dir: str, steps: int = 13) -> None:
             by_name[name] += ev.duration_ps
             counts[name] += 1
         print('\ntop individual ops (exclusive, per ~%d steps):' % steps)
-        for k, ps in by_name.most_common(40):
+        top_n = int(os.environ.get('TOP_N', '40'))
+        for k, ps in by_name.most_common(top_n):
             print(f'  {ps/1e9:8.2f} ms  n={counts[k]:4d}  '
                   f'{ps/1e9/steps:6.3f} ms/step  {k[:110]}')
 
