@@ -76,6 +76,12 @@ class UNetConfig:
     # over `ip_tokens` projected image tokens.
     ip_adapter: bool = False
     ip_tokens: int = 4
+    # Minimum per-image token count for the channel-major transformer
+    # interior (models/unet.py). Measured per architecture on TPU
+    # (tools/{cmajor_exp,sdxl_exp}.py): SD1.x prefers CM from 1024 tokens;
+    # SDXL's depth-10 1280-ch level is LayerNorm-heavy and runs ~1% faster
+    # standard, so its preset raises this to 4096.
+    cm_min_seq: int = 1024
 
     def depth_at(self, level: int) -> int:
         if isinstance(self.transformer_depth, int):
@@ -136,7 +142,8 @@ CLIP_VIT_L14_VISION = CLIPVisionConfig()
 SDXL_UNET = UNetConfig(block_channels=(320, 640, 1280),
                        attention_levels=(False, True, True),
                        transformer_depth=(0, 2, 10), head_dim=64,
-                       cross_attention_dim=2048, addition_embed=True)
+                       cross_attention_dim=2048, addition_embed=True,
+                       cm_min_seq=4096)
 SDXL_VAE = VAEConfig()  # same architecture; weights/scaling differ (0.13025)
 
 TINY_SDXL_UNET = UNetConfig(block_channels=(32, 64), layers_per_block=1,

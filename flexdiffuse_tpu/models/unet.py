@@ -22,6 +22,7 @@ Geometry matches ``CompVis/stable-diffusion-v1-4``'s UNet (4 levels at
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -36,7 +37,15 @@ Array = jax.Array
 
 # Channel-major interiors engage only where the flash kernel does (the
 # relayout economics flip below it — tiny levels stay standard/NHWC).
+# The per-architecture threshold lives in ``UNetConfig.cm_min_seq``
+# (SD1.x 1024, SDXL 4096 — measured, docs/PERFORMANCE.md); the env var is
+# an A/B override (tools/{cmajor_exp,sdxl_exp}.py).
 CM_MIN_SEQ = 1024
+
+
+def _cm_threshold(configured: int) -> int:
+    env = os.environ.get('CM_MIN_SEQ')
+    return int(env) if env else configured
 
 
 class DenseCM(nn.Module):
@@ -145,6 +154,65 @@ class ResnetBlock(nn.Module):
             x = nn.Conv(self.out_channels, (1, 1), name='conv_shortcut',
                         dtype=self.dtype)(x.astype(self.dtype))
         return x + h
+
+
+class LayerNormCM(nn.Module):
+    """LayerNorm over **channel-major** ``[C, B·S]`` activations with
+    MXU-matmul statistics.
+
+    XLA lowers the axis-0 (sublane-tiled) reduction of
+    ``nn.LayerNorm(reduction_axes=0)`` to convert+square+tree-reduce VPU
+    fusions measured at ~5× memory roofline (71 µs per [1280, 2048] norm —
+    12.9 ms/step across SDXL's 180 level-2 norms, tools/profile_scan.py
+    SDXL=1). Here the sums ride the MXU instead: ``Σx = 1ᵀ·x`` and
+    ``Σx² = 1ᵀ·(x∘x)`` as two [1, C] × [C, B·S] dots with fp32
+    accumulation (the elementwise square fuses into the second dot's
+    operand), leaving the VPU only the fusable normalize pass. Param
+    names/shapes match ``nn.LayerNorm`` ('scale'/'bias', [C]) so the two
+    are interchangeable in the checkpoint tree. ``LNCM=xla`` reverts to
+    the flax reduction (A/B knob, tools/sdxl_exp.py).
+
+    Measured honestly: on SDXL's level-2 the per-norm win is real in the
+    convert_reduce bucket (13.9 → 9.1 ms/step) but XLA moves the
+    convert/square passes into the new dot fusions — end-to-end neutral
+    there (that level now runs standard orientation anyway, see
+    ``UNetConfig.cm_min_seq``); at SD-1.4's final config it is +0.2%
+    (59.35 vs 59.21 steps/s, within noise). Kept as the default for the
+    marginal edge and because the stat dots expose the LN to the MXU
+    scheduler rather than serializing a VPU tree-reduce between dots.
+    """
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[0]
+        scale = self.param('scale', nn.initializers.ones, (c,))
+        bias = self.param('bias', nn.initializers.zeros, (c,))
+        x, scale, bias = nn.dtypes.promote_dtype(x, scale, bias,
+                                                 dtype=self.dtype)
+        ones = jnp.ones((1, c), x.dtype)
+        dims = (((1,), (0,)), ((), ()))
+        s1 = jax.lax.dot_general(ones, x, dims,
+                                 preferred_element_type=jnp.float32)
+        s2 = jax.lax.dot_general(ones, x * x, dims,
+                                 preferred_element_type=jnp.float32)
+        mean = s1 / c
+        var = jnp.maximum(s2 / c - mean * mean, 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        y = (x.astype(jnp.float32) - mean) * inv
+        y = y.astype(x.dtype) * scale[:, None] + bias[:, None]
+        return y
+
+
+def _ln_cm(name: str, dtype) -> nn.Module:
+    """The channel-major LayerNorm the transformer blocks use — MXU-stat
+    (:class:`LayerNormCM`) unless ``LNCM=xla`` asks for the flax axis-0
+    reduction."""
+    if os.environ.get('LNCM') == 'xla':
+        return nn.LayerNorm(epsilon=1e-5, name=name, dtype=dtype,
+                            reduction_axes=0, feature_axes=0)
+    return LayerNormCM(epsilon=1e-5, name=name, dtype=dtype)
 
 
 class CrossAttention(nn.Module):
@@ -275,9 +343,7 @@ class BasicTransformerBlock(nn.Module):
                  ip_scale: Array = 1.0, batch: int = 1) -> Array:
         cm = self.channel_major
         if cm:
-            ln = lambda name: nn.LayerNorm(epsilon=1e-5, name=name,
-                                           dtype=self.dtype,
-                                           reduction_axes=0, feature_axes=0)
+            ln = lambda name: _ln_cm(name, self.dtype)
         else:
             ln = lambda name: nn.LayerNorm(epsilon=1e-5, name=name,
                                            dtype=self.dtype)
@@ -309,6 +375,7 @@ class Transformer2D(nn.Module):
     # relayout. Param tree identical to the standard path.
     channel_major: bool = False
     approx_gelu: bool = False
+    cm_min_seq: int = CM_MIN_SEQ
 
     @nn.compact
     def __call__(self, x: Array, context: Array,
@@ -318,7 +385,7 @@ class Transformer2D(nn.Module):
         residual = x
         h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, name='norm',
                          dtype=jnp.float32)(x).astype(self.dtype)
-        if self.channel_major and hh * ww >= CM_MIN_SEQ:
+        if self.channel_major and hh * ww >= _cm_threshold(self.cm_min_seq):
             h = Conv1x1CM(self.channels, to_cm=True, name='proj_in',
                           dtype=self.dtype)(h.reshape(b * hh * ww, c))
             for i in range(self.depth):
@@ -366,7 +433,12 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method='nearest')
+        if os.environ.get('UPSAMPLE') == 'broadcast':  # tools/sdxl_exp.py A/B
+            x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                                 (b, h, 2, w, 2, c)).reshape(
+                                     b, h * 2, w * 2, c)
+        else:
+            x = jax.image.resize(x, (b, h * 2, w * 2, c), method='nearest')
         return nn.Conv(self.channels, (3, 3), padding=1, name='conv',
                        dtype=self.dtype)(x)
 
@@ -440,6 +512,7 @@ def run_down_mid(cfg: UNetConfig, h: Array, temb: Array, context: Array,
                                   ip_adapter=cfg.ip_adapter,
                                   channel_major=channel_major,
                                   approx_gelu=approx_gelu,
+                                  cm_min_seq=cfg.cm_min_seq,
                                   name=f'down_{i}_attn_{j}')(
                                       h, context, ip_ctx, ip_scale)
             skips.append(h)
@@ -455,6 +528,7 @@ def run_down_mid(cfg: UNetConfig, h: Array, temb: Array, context: Array,
                       cfg.depth_mid(), cfg.norm_groups,
                       dtype=dtype, ip_adapter=cfg.ip_adapter,
                       channel_major=channel_major, approx_gelu=approx_gelu,
+                      cm_min_seq=cfg.cm_min_seq,
                       name='mid_attn')(h, context, ip_ctx, ip_scale)
     h = ResnetBlock(mid_ch, cfg.norm_groups, dtype=dtype,
                     norm_dtype=norm_dtype, name='mid_res_1')(h, temb)
@@ -524,6 +598,7 @@ class UNet2DCondition(nn.Module):
                                       dtype=self.dtype,
                                       ip_adapter=cfg.ip_adapter,
                                       channel_major=cm, approx_gelu=ag,
+                                      cm_min_seq=cfg.cm_min_seq,
                                       name=f'up_{i}_attn_{j}')(
                                           h, context, ip_ctx, ip_scale)
             if i != num_levels - 1:

@@ -215,7 +215,7 @@ def flash_attention_tt(q: Array, k: Array, v: Array, scale: float,
                    static_argnames=('scale', 'block_q', 'block_k',
                                     'interpret'))
 def flash_attention_cm(q: Array, k: Array, v: Array, scale: float,
-                       block_q: int = 512, block_k: int = 512,
+                       block_q: int = 1024, block_k: int = 1024,
                        interpret: bool | None = None) -> Array:
     """``[H, D, B, Sq] × [H, D, B, Skv] → [H, D, B, Sq]`` flash attention
     over channel-major operands (the layout the channel-major transformer

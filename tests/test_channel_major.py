@@ -143,6 +143,27 @@ def test_sp_pipeline_forces_standard():
     assert pipe.unet.channel_major is False
 
 
+def test_layernorm_cm_matches_flax():
+    """MXU-stat LayerNormCM (models/unet.py) is interchangeable with
+    ``nn.LayerNorm(reduction_axes=0)``: same param tree, same output."""
+    from flax import linen as nn
+
+    from flexdiffuse_tpu.models.unet import LayerNormCM
+    x = jax.random.normal(jax.random.PRNGKey(2), (320, 512), jnp.float32)
+    x = x * 1.7 - 0.3
+    ref = nn.LayerNorm(epsilon=1e-5, reduction_axes=0, feature_axes=0)
+    mine = LayerNormCM(epsilon=1e-5)
+    p = ref.init(jax.random.PRNGKey(1), x)
+    p['params']['scale'] = jax.random.normal(jax.random.PRNGKey(3), (320,))
+    p['params']['bias'] = jax.random.normal(jax.random.PRNGKey(4), (320,))
+    assert (jax.tree_util.tree_structure(p) ==
+            jax.tree_util.tree_structure(mine.init(jax.random.PRNGKey(1),
+                                                   x)))
+    np.testing.assert_allclose(np.asarray(mine.apply(p, x)),
+                               np.asarray(ref.apply(p, x)),
+                               rtol=0, atol=2e-5)
+
+
 def test_approx_gelu_bound():
     """tanh-gelu (the bf16-on-TPU auto default) stays within the documented
     5e-4 absolute bound of exact erf gelu."""

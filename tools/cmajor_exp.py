@@ -74,11 +74,28 @@ def build(channel_major: bool, steps: int = 25):
 
 
 def main():
+    import os
+
     from flexdiffuse_tpu.ops import attention
+    bq, bk = os.environ.get('FLASH_BQ'), os.environ.get('FLASH_BK')
+    if bq or bk:  # flash block-size A/B (mirrors tools/sdxl_exp.py)
+        import functools
+
+        from flexdiffuse_tpu.ops import flash_attention as fa
+        orig = fa.flash_attention_cm
+
+        def patched(q, k, v, scale, **kw):
+            kw.setdefault('block_q', int(bq or 512))
+            kw.setdefault('block_k', int(bk or 512))
+            return orig(q, k, v, scale, **kw)
+
+        fa.flash_attention_cm = patched
+        attention.flash_attention_cm = patched
     results = {}
     outs = {}
+    cms = ((True,) if os.environ.get('CM_ONLY') else (False, True))
     with attention.backend('flash'):
-        for cm in (False, True):
+        for cm in cms:
             unet, sample, args, length = build(cm)
             t0 = time.perf_counter()
             out = np.asarray(sample(*args))
@@ -93,10 +110,12 @@ def main():
             outs[cm] = out
             print(f'cm={cm}: {length / best:6.2f} steps/s '
                   f'({best / length * 1e3:.2f} ms/step)', flush=True)
-    d = np.max(np.abs(outs[True] - outs[False]))
-    s = np.max(np.abs(outs[False]))
-    print(f'scan-output max|delta| = {d:.3e} (scale {s:.3e}) — '
-          f'{results[True] / results[False] - 1:+.1%} steps/s', flush=True)
+    if False in outs:
+        d = np.max(np.abs(outs[True] - outs[False]))
+        s = np.max(np.abs(outs[False]))
+        print(f'scan-output max|delta| = {d:.3e} (scale {s:.3e}) — '
+              f'{results[True] / results[False] - 1:+.1%} steps/s',
+              flush=True)
 
 
 if __name__ == '__main__':

@@ -24,32 +24,47 @@ import numpy as np
 def capture(trace_dir: str) -> None:
     from flexdiffuse_tpu import schedulers
     from flexdiffuse_tpu.models import SD14_UNET, UNet2DCondition
+    from flexdiffuse_tpu.models.configs import SDXL_UNET
 
     # CM=1 → channel-major, CM=0 → standard, unset → auto (models/unet.py).
     cm_env = os.environ.get('CM')
+    sdxl = bool(os.environ.get('SDXL'))  # SDXL=1 → SDXL-base at 1024²
+    cfg = SDXL_UNET if sdxl else SD14_UNET
     unet = UNet2DCondition(
-        SD14_UNET, dtype=jnp.bfloat16,
+        cfg, dtype=jnp.bfloat16,
         channel_major=None if cm_env is None else cm_env == '1')
-    latents = jnp.zeros((1, 64, 64, 4), jnp.float32)
-    ctx = jnp.zeros((2, 77, 768), jnp.float32)
+    hw = 128 if sdxl else 64
+    latents = jnp.zeros((1, hw, hw, 4), jnp.float32)
+    ctx = jnp.zeros((2, 77, cfg.cross_attention_dim), jnp.float32)
+    added = None
+    if sdxl:
+        added = {
+            'text_embeds': jnp.zeros((2, 1280), jnp.float32),
+            'time_ids': jnp.tile(
+                jnp.asarray([[1024, 1024, 0, 0, 1024, 1024]], jnp.float32),
+                (2, 1)),
+        }
     shapes = jax.eval_shape(
-        lambda k: unet.init(k, jnp.zeros((2, 64, 64, 4)), jnp.zeros((2,)),
-                            ctx), jax.random.PRNGKey(0))
+        lambda k: unet.init(k, jnp.zeros((2, hw, hw, 4)), jnp.zeros((2,)),
+                            ctx, added), jax.random.PRNGKey(0))
     params = jax.tree_util.tree_map(
-        lambda s: jnp.full(s.shape, 1e-3, s.dtype), shapes)
+        lambda s: jnp.full(s.shape, 1e-3,
+                           jnp.bfloat16 if sdxl and len(s.shape) >= 2
+                           else s.dtype), shapes)
     if os.environ.get('BF16_MM'):  # pre-cast matmul/conv params (bit-ident.)
         params = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16) if a.ndim >= 2 else a, params)
-    schedule = schedulers.make('pndm', 12)
+    schedule = schedulers.make('dpmpp' if sdxl else 'pndm',
+                               8 if sdxl else 12)
     state0 = schedulers.init_state(schedule, latents.shape, latents.dtype)
 
     @jax.jit
-    def sample(params, latents, state, ctx, gs):
+    def sample(params, latents, state, ctx, added, gs):
         def body(carry, i):
             lat, state = carry
             lat2 = jnp.concatenate([lat, lat])
             t = jnp.broadcast_to(schedule.timesteps[i], (2,))
-            eps = unet.apply(params, lat2, t, ctx)
+            eps = unet.apply(params, lat2, t, ctx, added)
             eu, ec = jnp.split(eps, 2)
             state, lat = schedulers.step(schedule, state, eu + gs * (ec - eu),
                                          i, i, lat, None, 0.0)
@@ -59,7 +74,7 @@ def capture(trace_dir: str) -> None:
                                    jnp.arange(schedule.length))
         return lat
 
-    args = (params, latents, state0, ctx, jnp.float32(8.0))
+    args = (params, latents, state0, ctx, added, jnp.float32(8.0))
     _ = np.asarray(sample(*args))
     jax.profiler.start_trace(trace_dir)
     _ = np.asarray(sample(*args))
@@ -111,6 +126,7 @@ def analyze(trace_dir: str, steps: int = 13) -> None:
 
 
 if __name__ == '__main__':
-    d = tempfile.mkdtemp(prefix='fxprof_')
+    d = (sys.argv[1] if len(sys.argv) > 1
+         else tempfile.mkdtemp(prefix='fxprof_'))
     capture(d)
-    analyze(d)
+    analyze(d, steps=8 if os.environ.get('SDXL') else 13)

@@ -1,39 +1,53 @@
-"""SDXL-base 1024² denoise-loop bench on one chip (stretch config).
+"""A/B micro-experiments on the SDXL-base 1024² CFG scan (real chip).
 
-Real SDXL geometry (2.57B params, bf16), random weights, CFG-doubled UNet +
-DPM-Solver++ update per step in one ``lax.scan``. Fetch-timed (see
-.claude/skills/verify timing notes). Run: ``python tools/bench_sdxl.py``.
+Knobs (env vars), each measured against the same baseline scan as
+tools/bench_sdxl.py:
+  UPSAMPLE=broadcast  — Upsample via broadcast+reshape instead of
+                        jax.image.resize (chasing the f32 layout ping-pong
+                        copies around the up-block GroupNorms).
+  FLASH_BQ/FLASH_BK   — flash kernel block sizes at SDXL shapes.
+Run: ``python tools/sdxl_exp.py``.
 """
 from __future__ import annotations
 
 import functools
-import json
 import os
 import sys
 import time
 
 sys.path.insert(0, '/root/repo')
-os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
-                      '/root/repo/.jax_cache')
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/repo/.jax_cache')
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flexdiffuse_tpu import schedulers
-from flexdiffuse_tpu.models.configs import SDXL_UNET
-from flexdiffuse_tpu.models.unet import UNet2DCondition
-
 STEPS = 25
 IMAGE = 1024
 
 
-def measure(verbose: bool = True) -> dict:
-    """Build + time the SDXL scan; returns the result dict (bench.py runs
-    this file as a subprocess for its ``sdxl`` extra — the model needs a
-    chip without other live buffers)."""
+def measure() -> float:
+    from flexdiffuse_tpu import schedulers
+    from flexdiffuse_tpu.models.configs import SDXL_UNET
+    from flexdiffuse_tpu.models.unet import UNet2DCondition
     from flexdiffuse_tpu.ops import attention
+    from flexdiffuse_tpu.utils.params import product_compiler_options
+
     attention.set_backend('flash')
+    bq, bk = os.environ.get('FLASH_BQ'), os.environ.get('FLASH_BK')
+    if bq or bk:
+        from flexdiffuse_tpu.ops import flash_attention as fa
+        orig = fa.flash_attention_cm
+
+        def patched(q, k, v, scale, **kw):
+            kw.setdefault('block_q', int(bq or 512))
+            kw.setdefault('block_k', int(bk or 512))
+            return orig(q, k, v, scale, **kw)
+
+        fa.flash_attention_cm = patched
+        from flexdiffuse_tpu.ops import attention as att
+        att.flash_attention_cm = patched
+
     unet = UNet2DCondition(SDXL_UNET, dtype=jnp.bfloat16)
     hw = IMAGE // 8
     latents = jnp.zeros((1, hw, hw, 4), jnp.float32)
@@ -51,17 +65,10 @@ def measure(verbose: bool = True) -> dict:
         lambda s: jnp.full(s.shape, 1e-3,
                            jnp.bfloat16 if len(s.shape) >= 2 else s.dtype),
         shapes)
-    if verbose:
-        nparams = sum(x.size for x in jax.tree_util.tree_leaves(params))
-        print(f'params: {nparams:,}')
-
     schedule = schedulers.make('dpmpp', STEPS)
     state0 = schedulers.init_state(schedule, latents.shape, latents.dtype)
 
-    from flexdiffuse_tpu.utils.params import product_compiler_options
-
-    @functools.partial(jax.jit,
-                       compiler_options=product_compiler_options())
+    @functools.partial(jax.jit, compiler_options=product_compiler_options())
     def sample(params, latents, state, ctx, added, gs):
         def body(carry, i):
             lat, state = carry
@@ -69,9 +76,9 @@ def measure(verbose: bool = True) -> dict:
             t = jnp.broadcast_to(schedule.timesteps[i], (2,))
             eps = unet.apply(params, lat2, t, ctx, added)
             eps_u, eps_c = jnp.split(eps, 2)
-            eps = eps_u + gs * (eps_c - eps_u)
-            state, lat = schedulers.step(schedule, state, eps, i, i, lat,
-                                         None, 0.0)
+            state, lat = schedulers.step(schedule, state,
+                                         eps_u + gs * (eps_c - eps_u),
+                                         i, i, lat, None, 0.0)
             return (lat, state), None
 
         (lat, _), _ = jax.lax.scan(body, (latents, state),
@@ -81,31 +88,19 @@ def measure(verbose: bool = True) -> dict:
     args = (params, latents, state0, ctx, added, jnp.float32(5.0))
     t0 = time.perf_counter()
     out = np.asarray(sample(*args))
-    if verbose:
-        print(f'compile+first run: {time.perf_counter() - t0:.1f}s, '
-              f'finite={np.isfinite(out).all()}')
+    print(f'  compile+run {time.perf_counter() - t0:.0f}s '
+          f'finite={np.isfinite(out).all()}')
     best = float('inf')
     for _ in range(3):
         t0 = time.perf_counter()
         _ = np.asarray(sample(*args))
         best = min(best, time.perf_counter() - t0)
-    return {
-        'metric': f'sdxl-base 1024x1024 CFG denoise steps/sec/chip '
-                  f'(bf16, DPM++ {STEPS}-step scan)',
-        'steps_per_sec': round(STEPS / best, 3),
-        'seconds_per_image_25step': round(best / STEPS * 25, 2),
-    }
-
-
-def main() -> None:
-    json_only = '--json' in sys.argv
-    if not json_only:
-        print('devices:', jax.devices())
-    out = measure(verbose=not json_only)
-    out['value'] = out.pop('steps_per_sec')
-    out['unit'] = 'steps/sec'
-    print(json.dumps(out))
+    return STEPS / best
 
 
 if __name__ == '__main__':
-    main()
+    label = (f"UPSAMPLE={os.environ.get('UPSAMPLE', 'resize')} "
+             f"BQ={os.environ.get('FLASH_BQ', '512')} "
+             f"BK={os.environ.get('FLASH_BK', '512')}")
+    sps = measure()
+    print(f'{label}: {sps:.3f} steps/s')
