@@ -23,7 +23,8 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument('--models', default='./models',
                    help='dir with HF snapshots of SD-1.4 and CLIP ViT-L/14')
     p.add_argument('--scheduler', default='pndm',
-                   choices=('ddim', 'pndm', 'lms', 'euler', 'euler_a', 'dpmpp'))
+                   choices=('ddim', 'pndm', 'lms', 'euler', 'euler_a',
+                            'dpmpp', 'lcm'))
     p.add_argument('--clip-skip', type=int, default=0, choices=(0, 1),
                    help='1 = condition on the penultimate CLIP layer')
     p.add_argument('--karras', action='store_true',

@@ -76,6 +76,11 @@ class UNetConfig:
     # over `ip_tokens` projected image tokens.
     ip_adapter: bool = False
     ip_tokens: int = 4
+    # Latent-consistency (LCM) guidance embedding: full LCM checkpoints
+    # (e.g. SimianLuo/LCM_Dreamshaper_v7) condition the timestep embedding
+    # on the guidance scale w through a bias-free projection
+    # (HF ``time_embedding.cond_proj``); 0 → absent (standard SD).
+    time_cond_proj_dim: int = 0
     # Minimum per-image token count for the channel-major transformer
     # interior (models/unet.py). Measured per architecture on TPU
     # (tools/{cmajor_exp,sdxl_exp}.py): SD1.x prefers CM from 1024 tokens;

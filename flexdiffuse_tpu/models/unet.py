@@ -443,16 +443,47 @@ class Upsample(nn.Module):
                        dtype=self.dtype)(x)
 
 
-def embed_timestep(cfg: UNetConfig, t: Array, added_cond, dtype) -> Array:
+def guidance_scale_embedding(w: Array, dim: int) -> Array:
+    """LCM guidance-scale embedding ``[B] -> [B, dim]`` (w is the
+    *conditioning* scale, conventionally ``guidance_scale - 1``).
+
+    Matches the diffusers ``get_guidance_scale_embedding`` formula the LCM
+    checkpoints were distilled with: scale by 1000, then log-spaced
+    sin|cos features (NOT the cos|sin ordering of the timestep sinusoid).
+    """
+    w = jnp.asarray(w, jnp.float32) * 1000.0
+    half = dim // 2
+    freqs = jnp.exp(-math.log(10000.0) *
+                    jnp.arange(half, dtype=jnp.float32) / (half - 1))
+    args = w.reshape(-1, 1) * freqs[None]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def embed_timestep(cfg: UNetConfig, t: Array, added_cond, dtype,
+                   timestep_cond: Array = None) -> Array:
     """Timestep (+ SDXL text_time additional) embedding.
 
     A plain function called inside ``@nn.compact`` scopes — parameters are
     created in the caller's scope under the same names, so the UNet and the
     ControlNet (models/controlnet.py) share conversion rename rules.
+
+    ``timestep_cond`` (LCM guidance embedding, ``[B, time_cond_proj_dim]``):
+    projected bias-free and added to the sinusoidal features *before* the
+    embedding MLP (HF ``TimestepEmbedding.cond_proj`` semantics).
     """
     ch0 = cfg.block_channels[0]
     temb_dim = ch0 * 4
     temb = timestep_embedding(t, ch0)
+    if cfg.time_cond_proj_dim:
+        assert timestep_cond is not None, (
+            'this UNet config requires timestep_cond (the LCM guidance '
+            'embedding, models/unet.py guidance_scale_embedding)')
+        temb = temb + nn.Dense(ch0, use_bias=False, name='time_cond_proj',
+                               dtype=jnp.float32)(
+                                   timestep_cond.astype(jnp.float32))
     temb = nn.Dense(temb_dim, name='time_embed_1',
                     dtype=dtype)(temb.astype(dtype))
     temb = nn.Dense(temb_dim, name='time_embed_2', dtype=dtype)(nn.silu(temb))
@@ -554,17 +585,18 @@ class UNet2DCondition(nn.Module):
     @nn.compact
     def __call__(self, latents: Array, t: Array, context: Array,
                  added_cond=None, control=None, ip_ctx=None,
-                 ip_scale=1.0) -> Array:
+                 ip_scale=1.0, timestep_cond=None) -> Array:
         """``added_cond`` (SDXL text_time conditioning): dict with
         ``text_embeds [B, pooled_dim]`` and ``time_ids [B, 6]`` — pooled
         second-encoder embeddings plus size/crop micro-conditioning.
         ``control`` (ControlNet): ``(down_residuals, mid_residual)`` added
         onto the saved skip states and the mid output
-        (models/controlnet.py)."""
+        (models/controlnet.py). ``timestep_cond``: LCM guidance embedding
+        ``[B, cfg.time_cond_proj_dim]`` (see guidance_scale_embedding)."""
         cfg = self.config
         cm = resolve_channel_major(self.channel_major)
         ag = resolve_approx_gelu(self.approx_gelu, self.dtype)
-        temb = embed_timestep(cfg, t, added_cond, self.dtype)
+        temb = embed_timestep(cfg, t, added_cond, self.dtype, timestep_cond)
 
         x = latents.astype(self.dtype)
         h = nn.Conv(cfg.block_channels[0], (3, 3), padding=1, name='conv_in',

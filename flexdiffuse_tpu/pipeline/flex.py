@@ -158,11 +158,12 @@ class FlexPipeline:
             base_unet_apply = unet_apply
 
             def unet_apply(params, lat, t, ctx, added=None, control=None,
-                           ip_ctx=None, ip_scale=1.0):
+                           ip_ctx=None, ip_scale=1.0, timestep_cond=None):
                 lat = jax.lax.with_sharding_constraint(lat, row_sharding)
                 with _attn_mod.sp_context(sp_mesh, sp_axis, sp_min_seq):
                     return base_unet_apply(params, lat, t, ctx, added,
-                                           control, ip_ctx, ip_scale)
+                                           control, ip_ctx, ip_scale,
+                                           timestep_cond)
 
             self._sp_sharding = row_sharding
 
@@ -172,7 +173,7 @@ class FlexPipeline:
                     t_start, eta, key, init_latents=None, mask=None,
                     control_cond=None, cn_params=None, cn_scale=1.0,
                     debug=False, inpaint=False):
-            def noise_fn(lat, t, ctx, added=None, ip=None):
+            def noise_fn(lat, t, ctx, added=None, ip=None, tcond=None):
                 control = None
                 if control_cond is not None:
                     # ControlNet branch: the control net sees only the noisy
@@ -187,7 +188,7 @@ class FlexPipeline:
                         cn_scale)
                 ip_ctx, ip_scale = ip if ip is not None else (None, 1.0)
                 return unet_apply(unet_params, lat, t, ctx, added, control,
-                                  ip_ctx, ip_scale)
+                                  ip_ctx, ip_scale, tcond)
 
             def body(carry, i):
                 lat, state, k = carry
@@ -335,6 +336,24 @@ class FlexPipeline:
         batch_size = guide.batch_size
         schedule = self.schedule(steps)
         f = self.vae_scale
+
+        # Guidance-embedded (LCM) checkpoints: the UNet takes the guidance
+        # scale as a model input and CFG is off (diffusers semantics —
+        # LCM-LoRA on a standard UNet keeps ordinary CFG instead).
+        tcp = getattr(self.unet.config, 'time_cond_proj_dim', 0)
+        if tcp:
+            if not hasattr(guide, 'timestep_cond'):
+                raise NotImplementedError(
+                    'guidance-embedded (LCM) UNets are driven through '
+                    'SimpleGuidance; composite guidance does not carry a '
+                    'timestep_cond')
+            if guide.timestep_cond is None:
+                from flexdiffuse_tpu.models.unet import \
+                    guidance_scale_embedding
+                w = jnp.asarray(guide.guidance_scale, jnp.float32) - 1.0
+                guide = guide.replace(
+                    timestep_cond=guidance_scale_embedding(w, tcp),
+                    cfg=False)
 
         control_kw = {}
         if control_image is not None:

@@ -63,6 +63,11 @@ class SimpleGuidance(struct.PyTreeNode):
     ip_tokens: Optional[Array] = None
     ip_uncond: Optional[Array] = None
     ip_scale: Array = 1.0
+    # LCM guidance embedding ([1, time_cond_proj_dim], models/unet.py
+    # guidance_scale_embedding): full LCM checkpoints take the guidance
+    # scale as a model input; when set, ``cfg`` must be False (the
+    # pipeline auto-builds both, pipeline/flex.py).
+    timestep_cond: Optional[Array] = None
     cfg: bool = struct.field(pytree_node=False, default=True)
 
     @property
@@ -108,6 +113,12 @@ class SimpleGuidance(struct.PyTreeNode):
             cond = jnp.concatenate([unc, cond])
         return (cond, self.ip_scale)
 
+    def _tcond(self, n: int):
+        if self.timestep_cond is None:
+            return None
+        return jnp.broadcast_to(self.timestep_cond,
+                                (n,) + self.timestep_cond.shape[1:])
+
     def noise_pred(self, noise_fn: NoiseFn, latents: Array, t: Array,
                    progress: Array = 0.0) -> Array:
         del progress
@@ -115,14 +126,16 @@ class SimpleGuidance(struct.PyTreeNode):
         if not self.cfg:
             return noise_fn(self._with_extra(latents),
                             jnp.broadcast_to(t, (b,)), self.embeddings,
-                            self._added(b, False), self._ip(b, False))
+                            self._added(b, False), self._ip(b, False),
+                            self._tcond(b))
         ctx = jnp.concatenate(
             [jnp.broadcast_to(self.uncond,
                               self.embeddings.shape), self.embeddings])
         lat_in = self._with_extra(latents)
         lat2 = jnp.concatenate([lat_in, lat_in])
         eps = noise_fn(lat2, jnp.broadcast_to(t, (2 * b,)), ctx,
-                       self._added(2 * b, True), self._ip(b, True))
+                       self._added(2 * b, True), self._ip(b, True),
+                       self._tcond(2 * b))
         eps_u, eps_c = jnp.split(eps, 2)
         return eps_u + self.guidance_scale * (eps_c - eps_u)
 

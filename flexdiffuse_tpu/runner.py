@@ -185,10 +185,27 @@ class Runner:
 
         text_config = text_config or configs.CLIP_VIT_L14_TEXT
         vision_config = vision_config or configs.CLIP_VIT_L14_VISION
-        unet_config = unet_config or SD14_UNET
         vae_config = vae_config or SD14_VAE
 
         sd_dir = os.path.join(model_root, config.sd_model.split('/')[-1])
+        if unet_config is None:
+            unet_config = SD14_UNET
+            # Guidance-embedded (full LCM) checkpoints declare their
+            # cond-proj width in the HF snapshot's unet/config.json
+            # (e.g. SimianLuo/LCM_Dreamshaper_v7: 256) — auto-adopt it so
+            # `--scheduler lcm` works without a hand-built UNetConfig.
+            cfg_json = os.path.join(sd_dir, 'unet', 'config.json')
+            if os.path.exists(cfg_json):
+                import dataclasses
+                import json as _json
+                try:
+                    with open(cfg_json) as f:
+                        tcp = _json.load(f).get('time_cond_proj_dim') or 0
+                except (OSError, ValueError):
+                    tcp = 0
+                if tcp:
+                    unet_config = dataclasses.replace(
+                        unet_config, time_cond_proj_dim=int(tcp))
         clip_dir = os.path.join(model_root, config.clip_model.split('/')[-1])
         log.info('Loading CLIP from %s and SD from %s (local only: %s)',
                  clip_dir, sd_dir, config.local_only)

@@ -19,6 +19,7 @@ from flexdiffuse_tpu.schedulers import ddim as _ddim
 from flexdiffuse_tpu.schedulers import dpmpp as _dpmpp
 from flexdiffuse_tpu.schedulers import euler as _euler
 from flexdiffuse_tpu.schedulers import euler_ancestral as _euler_a
+from flexdiffuse_tpu.schedulers import lcm as _lcm
 from flexdiffuse_tpu.schedulers import lms as _lms
 from flexdiffuse_tpu.schedulers import pndm as _pndm
 from flexdiffuse_tpu.schedulers.base import (SIGMA_SPACE_KINDS, Schedule,
@@ -27,7 +28,8 @@ from flexdiffuse_tpu.schedulers.base import (SIGMA_SPACE_KINDS, Schedule,
                                              init_timestep_info, make_betas)
 
 _KINDS = {'ddim': _ddim, 'pndm': _pndm, 'lms': _lms,
-          'euler': _euler, 'euler_a': _euler_a, 'dpmpp': _dpmpp}
+          'euler': _euler, 'euler_a': _euler_a, 'dpmpp': _dpmpp,
+          'lcm': _lcm}
 
 Array = jax.Array
 
@@ -150,8 +152,10 @@ def anchor_noise(schedule: Schedule, sample: Array, noise: Array, i: Array,
         a = jnp.where(clean, 1.0, schedule.vp_alpha[clamped])
         s = jnp.where(clean, 0.0, schedule.vp_sigma[clamped])
         return (a * f32 + s * n32).astype(sample.dtype)
-    if schedule.kind == 'pndm' and getattr(schedule, 'prk', False):
-        # PRK tables carry each position's exact output level.
+    if schedule.kind == 'lcm' or (schedule.kind == 'pndm' and
+                                  getattr(schedule, 'prk', False)):
+        # PRK/LCM tables carry each position's exact output level
+        # (LCM's last entry is -1 → clean, handled below).
         t_out = schedule.prev_tr[jnp.clip(i, 0, length - 1)].astype(jnp.int32)
     else:
         t = schedule.timesteps[jnp.clip(i, 0, length - 1)].astype(jnp.int32)

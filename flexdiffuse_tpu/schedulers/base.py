@@ -53,6 +53,10 @@ class SchedulerConfig:
     # 'epsilon' (SD1.x/SDXL) or 'v_prediction' (SD2.x 768-v: the model
     # predicts v = √ᾱ·ε − √(1−ᾱ)·x₀; converted to ε once per step).
     prediction_type: str = 'epsilon'
+    # LCM-only: the distillation's base DDIM schedule length and the
+    # boundary-condition timestep scaling (diffusers LCMScheduler defaults).
+    original_inference_steps: int = 50
+    timestep_scaling: float = 10.0
 
 
 def make_betas(config: SchedulerConfig) -> np.ndarray:

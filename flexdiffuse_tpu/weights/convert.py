@@ -179,6 +179,10 @@ def convert_unet(sd: SD, config: UNetConfig) -> dict:
     if config.addition_embed:
         out['add_embed_1'] = _dense(sd, 'add_embedding.linear_1')
         out['add_embed_2'] = _dense(sd, 'add_embedding.linear_2')
+    if config.time_cond_proj_dim:
+        # LCM guidance-embedding projection (bias-free).
+        out['time_cond_proj'] = _dense(sd, 'time_embedding.cond_proj',
+                                       bias=False)
     n = len(config.block_channels)
     for i in range(n):
         for j in range(config.layers_per_block):

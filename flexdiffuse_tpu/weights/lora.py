@@ -11,8 +11,11 @@ without LoRAs, and stacking N adapters costs zero step time.
 Covers the modules standard LoRA trains: transformer attention projections
 (to_q/k/v/out), the GEGLU feed-forward, the transformer proj_in/out
 (Linear or 1×1 conv — both layouts appear in the wild), and the CLIP text
-encoder's attention/MLP. Unknown keys (LoCon conv adapters etc.) are
-reported, not silently dropped.
+encoder's attention/MLP. The **diffusers/PEFT naming** (dotted module
+paths with ``lora_A``/``lora_B``, the format LCM-LoRA ships in) is also
+accepted, including its k×k *conv* adapters (resnet conv1/conv2/shortcut,
+up/downsamplers, time_emb_proj). Unknown keys are reported, not silently
+dropped.
 
 SDXL LoRAs use kohya's SGM naming (``lora_unet_input_blocks_{n}_1_*`` /
 ``middle_block_1`` / ``output_blocks_{n}_1``, plus ``lora_te1_``/
@@ -129,6 +132,84 @@ def _te_path(module: str) -> Optional[Tuple[str, ...]]:
     return None
 
 
+# ---------------------------------------------------------------------------
+# diffusers/PEFT naming (dotted module paths + lora_A/lora_B) — the format
+# LCM-LoRA and other diffusers-trained adapters ship in, e.g.
+# ``unet.down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q`` or
+# ``unet.up_blocks.1.resnets.0.conv1`` (conv adapters: lora_A [r, in, k, k]).
+
+_D_ATTN = re.compile(
+    r'^(down|up)_blocks\.(\d+)\.attentions\.(\d+)\.(.*)$')
+_D_RES = re.compile(r'^(down|up)_blocks\.(\d+)\.resnets\.(\d+)\.(\w+)$')
+_D_SAMPLER = re.compile(
+    r'^(down|up)_blocks\.(\d+)\.(down|up)samplers\.0\.conv$')
+_D_TE = re.compile(
+    r'^text_model\.encoder\.layers\.(\d+)\.(self_attn|mlp)\.(\w+)$')
+
+
+def _diffusers_attn_leaf(rest: str) -> Optional[Tuple[str, ...]]:
+    m = re.match(r'^transformer_blocks\.(\d+)\.(.*)$', rest)
+    if m:
+        d, leaf = m.group(1), m.group(2)
+        for attn in ('attn1', 'attn2'):
+            if leaf == f'{attn}.to_out.0':
+                return (f'blocks_{d}', attn, 'to_out')
+            pm = re.match(f'^{attn}\\.to_([qkv])$', leaf)
+            if pm:
+                return (f'blocks_{d}', attn, f'to_{pm.group(1)}')
+        if leaf == 'ff.net.0.proj':
+            return (f'blocks_{d}', 'ff', 'proj_in')
+        if leaf == 'ff.net.2':
+            return (f'blocks_{d}', 'ff', 'proj_out')
+        return None
+    if rest in ('proj_in', 'proj_out'):
+        return (rest,)
+    return None
+
+
+_RES_LEAVES = ('conv1', 'conv2', 'conv_shortcut', 'time_emb_proj')
+
+
+def _diffusers_unet_path(module: str) -> Optional[Tuple[str, ...]]:
+    m = _D_ATTN.match(module)
+    if m:
+        side, i, j, rest = m.groups()
+        leaf = _diffusers_attn_leaf(rest)
+        return (f'{side}_{i}_attn_{j}',) + leaf if leaf else None
+    m = _D_RES.match(module)
+    if m:
+        side, i, j, leaf = m.groups()
+        return (f'{side}_{i}_res_{j}', leaf) if leaf in _RES_LEAVES else None
+    m = _D_SAMPLER.match(module)
+    if m:
+        side = m.group(1)
+        return (f'{side}_{m.group(2)}_{side}sample', 'conv')
+    if module.startswith('mid_block.attentions.0.'):
+        leaf = _diffusers_attn_leaf(module[len('mid_block.attentions.0.'):])
+        return ('mid_attn',) + leaf if leaf else None
+    m = re.match(r'^mid_block\.resnets\.(\d+)\.(\w+)$', module)
+    if m and m.group(2) in _RES_LEAVES:
+        return (f'mid_res_{m.group(1)}', m.group(2))
+    if module == 'time_embedding.linear_1':
+        return ('time_embed_1',)
+    if module == 'time_embedding.linear_2':
+        return ('time_embed_2',)
+    return None
+
+
+def _diffusers_te_path(module: str) -> Optional[Tuple[str, ...]]:
+    m = _D_TE.match(module)
+    if not m:
+        return None
+    layer, kind, leaf = m.groups()
+    if kind == 'self_attn' and leaf in ('q_proj', 'k_proj', 'v_proj',
+                                        'out_proj'):
+        return ('encoder', f'layers_{layer}', 'self_attn', leaf)
+    if kind == 'mlp' and leaf in ('fc1', 'fc2'):
+        return ('encoder', f'layers_{layer}', 'mlp', leaf)
+    return None
+
+
 def parse_spec(spec: str):
     """'path[:scale]' CLI/UI spec → (path, scale)."""
     path, _, s_part = spec.rpartition(':')
@@ -162,6 +243,13 @@ def parse_lora(sd: Dict[str, np.ndarray], unet_config=None):
         base, _, part = key.rpartition('.')
         if part == 'weight':
             base, _, part = base.rpartition('.')
+        # kohya: lora_down/lora_up/alpha; diffusers-PEFT: lora_A/lora_B;
+        # older diffusers: <module>.lora.down / <module>.lora.up.
+        if part in ('lora_A', 'lora_B'):
+            part = 'lora_down' if part == 'lora_A' else 'lora_up'
+        elif part in ('down', 'up') and base.endswith('.lora'):
+            base = base[:-len('.lora')]
+            part = f'lora_{part}'
         if part not in ('lora_down', 'lora_up', 'alpha'):
             continue
         groups.setdefault(base, {})[part] = np.asarray(val)
@@ -184,6 +272,15 @@ def parse_lora(sd: Dict[str, np.ndarray], unet_config=None):
         elif base.startswith('lora_te2_'):
             path = _te_path(base[len('lora_te2_'):])
             target = 'te2'
+        elif base.startswith('unet.'):          # diffusers/PEFT naming
+            path = _diffusers_unet_path(base[len('unet.'):])
+            target = 'unet'
+        elif base.startswith('text_encoder.'):
+            path = _diffusers_te_path(base[len('text_encoder.'):])
+            target = 'te'
+        elif base.startswith('text_encoder_2.'):
+            path = _diffusers_te_path(base[len('text_encoder_2.'):])
+            target = 'te2'
         else:
             path, target = None, None
         if path is None:
@@ -191,9 +288,9 @@ def parse_lora(sd: Dict[str, np.ndarray], unet_config=None):
             continue
         down = parts['lora_down']
         up = parts['lora_up']
-        if down.ndim == 4:                     # conv-layout [r, in, 1, 1]
+        if down.ndim == 4 and down.shape[2:] == (1, 1):  # 1×1 conv layout
             down = down[:, :, 0, 0]
-        if up.ndim == 4:
+        if up.ndim == 4 and up.shape[2:] == (1, 1):
             up = up[:, :, 0, 0]
         rank = down.shape[0]
         alpha = float(parts.get('alpha', rank))
@@ -258,6 +355,21 @@ def apply_lora(unet_params, text_params, lora_sd: Dict[str, np.ndarray],
             # bf16 matmul kernels — utils/params.py), then cast back so the
             # tree's dtype policy survives the merge.
             orig_dtype = kernel.dtype
+            if down.ndim == 4:
+                # k×k conv adapter (diffusers conv LoRA: lora_A is a k×k
+                # conv [r, in, kh, kw], lora_B a 1×1 [out, r] — their
+                # composition is ΔW[o,i,kh,kw] = Σ_r up[o,r]·down[r,i,·,·]).
+                delta4 = np.einsum('or,rihw->hwio', up.astype(np.float64),
+                                   down.astype(np.float64))
+                delta4 = (scale * a * delta4).astype(np.float32)
+                if kernel.ndim != 4 or kernel.shape != delta4.shape:
+                    raise ValueError(
+                        f'conv LoRA shape {delta4.shape} does not match '
+                        f'kernel {kernel.shape} at {"/".join(path)}')
+                kernel = kernel.astype(np.float32) + delta4
+                node[leaf] = dict(node[leaf],
+                                  kernel=kernel.astype(orig_dtype))
+                continue
             delta = (up.astype(np.float64) @ down.astype(np.float64))
             delta = (scale * a * delta).astype(np.float32)
             kernel = kernel.astype(np.float32)

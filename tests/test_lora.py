@@ -244,3 +244,76 @@ def test_sdxl_sgm_lora_merges():
     t1 = np.asarray(merged_t2['params']['encoder']['layers_0']['mlp']
                     ['fc1']['kernel'])
     assert np.abs(t1 - t0).max() > 0
+
+
+def test_peft_named_lora_with_conv_adapters():
+    """diffusers/PEFT naming (the LCM-LoRA format): lora_A/lora_B keys with
+    dotted module paths, including k×k conv and resnet adapters."""
+    unet, params = _tiny_unet()
+    rng = np.random.default_rng(7)
+    c = TINY_UNET.block_channels[0]            # 32
+    rank = 4
+    down_q, up_q = _lora_pair(rng, c, c, rank)
+    # 3×3 conv adapter on down_blocks.0.resnets.0.conv1 (in=c, out=c)
+    down_c = rng.normal(size=(rank, c, 3, 3)).astype(np.float32) * 0.1
+    up_c = rng.normal(size=(c, rank, 1, 1)).astype(np.float32) * 0.1
+    # time_emb_proj Dense [temb_dim=4c → c]
+    down_t, up_t = _lora_pair(rng, c, 4 * c, rank)
+    # downsampler conv (1×1-style handled as k×k too: real one is 3×3)
+    down_s = rng.normal(size=(rank, c, 3, 3)).astype(np.float32) * 0.1
+    up_s = rng.normal(size=(c, rank, 1, 1)).astype(np.float32) * 0.1
+    sd = {
+        'unet.down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q'
+        '.lora_A.weight': down_q,
+        'unet.down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q'
+        '.lora_B.weight': up_q,
+        'unet.down_blocks.0.resnets.0.conv1.lora_A.weight': down_c,
+        'unet.down_blocks.0.resnets.0.conv1.lora_B.weight': up_c,
+        'unet.down_blocks.0.resnets.0.time_emb_proj.lora_A.weight': down_t,
+        'unet.down_blocks.0.resnets.0.time_emb_proj.lora_B.weight': up_t,
+        'unet.down_blocks.0.downsamplers.0.conv.lora_A.weight': down_s,
+        'unet.down_blocks.0.downsamplers.0.conv.lora_B.weight': up_s,
+    }
+    merged, _ = lora.apply_lora(params, None, sd, scale=1.0)
+
+    base = params['params']
+    new = merged['params']
+    # Dense delta (alpha defaults to rank → unit scaling): W += (up@down)^T
+    got = (np.asarray(new['down_0_attn_0']['blocks_0']['attn1']['to_q']
+                      ['kernel']) -
+           np.asarray(base['down_0_attn_0']['blocks_0']['attn1']['to_q']
+                      ['kernel']))
+    np.testing.assert_allclose(got, (up_q @ down_q).T, rtol=0, atol=1e-5)
+    # conv delta: ΔW[kh,kw,i,o] = Σ_r up[o,r]·down[r,i,kh,kw]
+    got_c = (np.asarray(new['down_0_res_0']['conv1']['kernel']) -
+             np.asarray(base['down_0_res_0']['conv1']['kernel']))
+    want_c = np.einsum('or,rihw->hwio', up_c[:, :, 0, 0], down_c)
+    np.testing.assert_allclose(got_c, want_c, rtol=0, atol=1e-5)
+    got_t = (np.asarray(new['down_0_res_0']['time_emb_proj']['kernel']) -
+             np.asarray(base['down_0_res_0']['time_emb_proj']['kernel']))
+    np.testing.assert_allclose(got_t, (up_t @ down_t).T, rtol=0, atol=1e-5)
+    got_s = (np.asarray(new['down_0_downsample']['conv']['kernel']) -
+             np.asarray(base['down_0_downsample']['conv']['kernel']))
+    want_s = np.einsum('or,rihw->hwio', up_s[:, :, 0, 0], down_s)
+    np.testing.assert_allclose(got_s, want_s, rtol=0, atol=1e-5)
+
+
+def test_peft_named_text_encoder_lora():
+    text = CLIPTextModel(TINY_TEXT)
+    params = text.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 77), jnp.int32))
+    rng = np.random.default_rng(9)
+    d = TINY_TEXT.hidden_size
+    down, up = _lora_pair(rng, d, d)
+    sd = {
+        'text_encoder.text_model.encoder.layers.0.self_attn.q_proj'
+        '.lora_A.weight': down,
+        'text_encoder.text_model.encoder.layers.0.self_attn.q_proj'
+        '.lora_B.weight': up,
+    }
+    _, merged = lora.apply_lora(None, params, sd)
+    got = (np.asarray(merged['params']['encoder']['layers_0']['self_attn']
+                      ['q_proj']['kernel']) -
+           np.asarray(params['params']['encoder']['layers_0']['self_attn']
+                      ['q_proj']['kernel']))
+    np.testing.assert_allclose(got, (up @ down).T, rtol=0, atol=1e-5)
