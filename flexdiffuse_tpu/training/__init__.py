@@ -1,0 +1,27 @@
+"""Training subsystem: diffusion loss, full/LoRA fine-tuning, DP/TP mesh.
+
+See :mod:`flexdiffuse_tpu.training.train` for design notes. Quick use::
+
+    from flexdiffuse_tpu import training
+
+    cfg = training.TrainConfig(learning_rate=1e-4)
+    step, tx = training.make_train_step(unet, cfg)           # full model
+    opt_state = tx.init(params)
+    params, opt_state, loss = step(params, opt_state, latents, ctx, key)
+
+    factors = training.init_lora(params, rank=8)             # LoRA-only
+    lstep, ltx = training.make_lora_train_step(unet, params, cfg)
+    ...
+    training.export_lora_safetensors(factors, 'my_lora.safetensors')
+"""
+from flexdiffuse_tpu.training.train import (TrainConfig, diffusion_loss,
+                                            export_lora_safetensors,
+                                            init_lora, make_lora_train_step,
+                                            make_optimizer, make_train_step,
+                                            merge_lora_params)
+
+__all__ = [
+    'TrainConfig', 'diffusion_loss', 'make_optimizer', 'make_train_step',
+    'init_lora', 'merge_lora_params', 'make_lora_train_step',
+    'export_lora_safetensors',
+]
