@@ -240,6 +240,79 @@ def cmd_compose(args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    """Fine-tune on a folder of images (LoRA by default, ``--full`` for the
+    whole UNet). Loads fp32 master params straight off the converted
+    checkpoints — the inference path's pre-cast bf16 trees are not suitable
+    optimizer state; compute still runs bf16 inside the step."""
+    import jax
+    import jax.numpy as jnp
+
+    from flexdiffuse_tpu import training
+    from flexdiffuse_tpu.config import RunConfig
+    from flexdiffuse_tpu.encode import CLIPEncoder
+    from flexdiffuse_tpu.models import (CLIPTextModel, CLIPVisionModel,
+                                        SD14_UNET, SD14_VAE, AutoencoderKL,
+                                        UNet2DCondition, configs)
+    from flexdiffuse_tpu.text.tokenizer import CLIPTokenizer
+    from flexdiffuse_tpu.weights import load
+
+    if getattr(args, 'model_family', 'sd1') == 'sdxl':
+        raise SystemExit('train: SDXL fine-tuning is not wired into the CLI '
+                         'yet — use the training library API directly')
+    cfgrun = RunConfig()
+    text_config, unet_config, vae_config = (configs.CLIP_VIT_L14_TEXT,
+                                            SD14_UNET, SD14_VAE)
+    prediction = 'epsilon'
+    if getattr(args, 'model_family', 'sd1') == 'sd2':
+        from flexdiffuse_tpu.models import (OPENCLIP_H_TEXT, SD21_UNET,
+                                            SD21_VAE)
+        text_config, unet_config, vae_config = (OPENCLIP_H_TEXT, SD21_UNET,
+                                                SD21_VAE)
+        prediction = 'v_prediction'
+    if getattr(args, 'v_prediction', False):
+        prediction = 'v_prediction'
+    sd_dir = os.path.join(args.models, cfgrun.sd_model.split('/')[-1])
+    clip_dir = os.path.join(args.models, cfgrun.clip_model.split('/')[-1])
+    text_params, vision_params = load.load_clip(
+        clip_dir, text_config=text_config,
+        vision_config=configs.CLIP_VIT_L14_VISION)
+    unet_params, vae_params = load.load_sd(
+        sd_dir, unet_config=unet_config, vae_config=vae_config)
+    tokenizer = CLIPTokenizer.from_dir(clip_dir)
+    encoder = CLIPEncoder(
+        CLIPTextModel(text_config, dtype=jnp.bfloat16), text_params,
+        CLIPVisionModel(configs.CLIP_VIT_L14_VISION, dtype=jnp.bfloat16),
+        vision_params, tokenizer, clip_skip=getattr(args, 'clip_skip', 0))
+    unet = UNet2DCondition(unet_config, dtype=jnp.bfloat16)
+    vae = AutoencoderKL(vae_config, dtype=jnp.bfloat16)
+
+    items = training.find_items(args.data, default_caption=args.caption)
+    ds = training.encode_dataset(items, vae, vae_params, encoder,
+                                 resolution=args.resolution)
+    tcfg = training.TrainConfig(learning_rate=args.lr,
+                                prediction_type=prediction,
+                                snr_gamma=args.snr_gamma)
+    mesh = None
+    if args.data_parallel > 1:
+        from flexdiffuse_tpu.parallel import make_mesh
+        mesh = make_mesh(jax.devices()[:args.data_parallel],
+                         model_parallel=1)
+    key = jax.random.PRNGKey(args.seed if args.seed is not None else 0)
+    if args.full:
+        out = args.out or 'finetuned_unet.msgpack'
+        training.train_full(unet, unet_params, ds, tcfg, steps=args.steps,
+                            batch_size=args.batch_size, key=key, mesh=mesh,
+                            save_path=out)
+    else:
+        out = args.out or 'lora.safetensors'
+        training.train_lora(unet, unet_params, ds, tcfg, rank=args.rank,
+                            steps=args.steps, batch_size=args.batch_size,
+                            key=key, mesh=mesh, save_path=out)
+    print(f'trained weights written to {out}')
+    return 0
+
+
 def cmd_serve(args) -> int:
     from flexdiffuse_tpu.interface.server import launch
     launch(lambda: _runner(args), lan=args.lan,
@@ -319,6 +392,40 @@ def main(argv=None) -> int:
     p.add_argument('--seed', type=int, default=None)
     p.add_argument('--debug', action='store_true')
     p.set_defaults(fn=cmd_compose)
+
+    p = sub.add_parser('train', help='fine-tune on a folder of images '
+                                     '(LoRA by default)')
+    p.add_argument('--models', default='./models',
+                   help='dir with converted HF snapshots (see download/'
+                        'convert)')
+    p.add_argument('--model-family', default='sd1', choices=('sd1', 'sd2'))
+    p.add_argument('--clip-skip', type=int, default=0, choices=(0, 1))
+    p.add_argument('--v-prediction', action='store_true',
+                   help='train against the v-prediction objective '
+                        '(default for --model-family sd2)')
+    p.add_argument('--data', required=True,
+                   help='dataset dir: images + same-stem .txt captions or '
+                        'metadata.jsonl; captionless folders use --caption')
+    p.add_argument('--caption', default='',
+                   help='caption for images without one (DreamBooth-style '
+                        'single-concept training)')
+    p.add_argument('--resolution', type=int, default=512)
+    p.add_argument('--full', action='store_true',
+                   help='fine-tune the whole UNet instead of LoRA factors')
+    p.add_argument('--rank', type=int, default=8, help='LoRA rank')
+    p.add_argument('--steps', type=int, default=500)
+    p.add_argument('--batch-size', type=int, default=4)
+    p.add_argument('--lr', type=float, default=1e-4)
+    p.add_argument('--snr-gamma', type=float, default=0.0,
+                   help='min-SNR loss weighting (5.0 is the published '
+                        'sweet spot; 0 = uniform)')
+    p.add_argument('--data-parallel', type=int, default=1,
+                   help='shard batches over this many chips')
+    p.add_argument('--seed', type=int, default=None)
+    p.add_argument('--out', default='',
+                   help='output path (default lora.safetensors / '
+                        'finetuned_unet.msgpack)')
+    p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser('serve', help='launch the web UI')
     _add_model_args(p)

@@ -14,6 +14,9 @@ See :mod:`flexdiffuse_tpu.training.train` for design notes. Quick use::
     ...
     training.export_lora_safetensors(factors, 'my_lora.safetensors')
 """
+from flexdiffuse_tpu.training.data import (EncodedDataset, encode_dataset,
+                                           find_items, load_pixels)
+from flexdiffuse_tpu.training.loop import train_full, train_lora
 from flexdiffuse_tpu.training.train import (TrainConfig, diffusion_loss,
                                             export_lora_safetensors,
                                             init_lora, make_lora_train_step,
@@ -24,4 +27,6 @@ __all__ = [
     'TrainConfig', 'diffusion_loss', 'make_optimizer', 'make_train_step',
     'init_lora', 'merge_lora_params', 'make_lora_train_step',
     'export_lora_safetensors',
+    'EncodedDataset', 'find_items', 'load_pixels', 'encode_dataset',
+    'train_lora', 'train_full',
 ]

@@ -1,0 +1,104 @@
+"""Training loop driver: steps × batches → trained params / LoRA adapter.
+
+One function per mode, both shaped the same way: build the jitted step
+(training/train.py), pull shuffled batches off the device-resident
+:class:`~flexdiffuse_tpu.training.data.EncodedDataset`, log loss at a
+cadence, return the trained tree plus the loss history. ``mesh`` (a
+``(data, model)`` Mesh from parallel/mesh.py) shards each batch on the
+data axis — the step itself is identical.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from flexdiffuse_tpu.training import train as _train
+from flexdiffuse_tpu.training.data import EncodedDataset
+
+Array = jax.Array
+log = logging.getLogger(__name__)
+
+
+def _run(step_fn, tree, opt_state, dataset: EncodedDataset, steps: int,
+         batch_size: int, key: Array, mesh, log_every: int,
+         on_step: Optional[Callable[[int, float], None]]):
+    if mesh is not None:
+        from flexdiffuse_tpu.parallel.mesh import shard_batch
+    data_key, step_key = jax.random.split(key)
+    losses: List[float] = []
+    it = dataset.batches(batch_size, data_key)
+    t0 = time.monotonic()
+    for i in range(steps):
+        latents, context = next(it)
+        if mesh is not None:
+            latents, context = shard_batch((latents, context), mesh)
+        step_key, k = jax.random.split(step_key)
+        tree, opt_state, loss = step_fn(tree, opt_state, latents, context, k)
+        if log_every and (i % log_every == 0 or i == steps - 1):
+            # The fetch synchronizes — keep the cadence coarse on TPU.
+            val = float(loss)
+            losses.append(val)
+            log.info('step %d/%d  loss %.5f  (%.2f steps/s)', i + 1, steps,
+                     val, (i + 1) / max(time.monotonic() - t0, 1e-6))
+            if on_step is not None:
+                on_step(i, val)
+    return tree, losses
+
+
+def train_lora(unet, base_params, dataset: EncodedDataset,
+               cfg: Optional[_train.TrainConfig] = None, rank: int = 8,
+               steps: int = 500, batch_size: int = 4,
+               key: Optional[Array] = None, mesh=None,
+               save_path: Optional[str] = None, log_every: int = 10,
+               include_ff: bool = True,
+               on_step: Optional[Callable[[int, float], None]] = None,
+               ) -> Tuple[dict, List[float]]:
+    """LoRA fine-tune: returns ``(factors, loss_history)``; ``save_path``
+    additionally writes a kohya safetensors adapter loadable by
+    ``Runner.apply_lora`` / any kohya-compatible tool."""
+    cfg = cfg or _train.TrainConfig()
+    key = key if key is not None else jax.random.PRNGKey(0)
+    init_key, run_key = jax.random.split(key)
+    factors = _train.init_lora(base_params, rank=rank, key=init_key,
+                               include_ff=include_ff)
+    step_fn, tx = _train.make_lora_train_step(unet, base_params, cfg,
+                                              mesh=mesh)
+    opt_state = tx.init(factors)
+    log.info('LoRA training: %d modules at rank %d, %d steps, batch %d',
+             len(factors), rank, steps, batch_size)
+    factors, losses = _run(step_fn, factors, opt_state, dataset, steps,
+                           batch_size, run_key, mesh, log_every, on_step)
+    if save_path:
+        n = _train.export_lora_safetensors(factors, save_path)
+        log.info('wrote %d LoRA modules to %s', n, save_path)
+    return factors, losses
+
+
+def train_full(unet, params, dataset: EncodedDataset,
+               cfg: Optional[_train.TrainConfig] = None, steps: int = 500,
+               batch_size: int = 4, key: Optional[Array] = None, mesh=None,
+               save_path: Optional[str] = None, log_every: int = 10,
+               on_step: Optional[Callable[[int, float], None]] = None,
+               ) -> Tuple[dict, List[float]]:
+    """Full-model fine-tune: returns ``(params, loss_history)``;
+    ``save_path`` writes the trained tree as msgpack (the same format the
+    weight-loading cache uses — point ``weights.load`` at it or hand it to
+    ``Runner.from_models``)."""
+    cfg = cfg or _train.TrainConfig()
+    key = key if key is not None else jax.random.PRNGKey(0)
+    step_fn, tx = _train.make_train_step(unet, cfg, mesh=mesh)
+    opt_state = tx.init(params)
+    log.info('full fine-tune: %d steps, batch %d', steps, batch_size)
+    params, losses = _run(step_fn, params, opt_state, dataset, steps,
+                          batch_size, key, mesh, log_every, on_step)
+    if save_path:
+        from flax import serialization
+        with open(save_path, 'wb') as f:
+            f.write(serialization.msgpack_serialize(
+                jax.tree_util.tree_map(lambda x: jax.device_get(x), params)))
+        log.info('wrote trained params to %s', save_path)
+    return params, losses

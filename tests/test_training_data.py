@@ -1,0 +1,167 @@
+"""Dataset loading/encoding (training/data.py) and the loop driver
+(training/loop.py): folder conventions, shapes, batch sampling, LoRA
+train-and-export through the CLI-facing entry points."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from flexdiffuse_tpu import training
+from flexdiffuse_tpu.models import (TINY_UNET, TINY_VAE, AutoencoderKL,
+                                    UNet2DCondition)
+
+
+class StubEncoder:
+    """CLIPEncoder stand-in: deterministic [N, 77, D] from caption hash."""
+
+    def prompt(self, prompts):
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        rows = []
+        for p in prompts:
+            rng = np.random.default_rng(abs(hash(p)) % (2**31))
+            rows.append(rng.normal(size=(77, 32)).astype(np.float32))
+        return jnp.asarray(np.stack(rows))
+
+
+def _write_images(d, n=3, captions=True):
+    os.makedirs(d, exist_ok=True)
+    for i in range(n):
+        arr = np.full((40, 56, 3), 40 * i + 10, np.uint8)  # non-square
+        Image.fromarray(arr).save(os.path.join(d, f'img_{i}.png'))
+        if captions:
+            with open(os.path.join(d, f'img_{i}.txt'), 'w') as f:
+                f.write(f'a photo number {i}')
+
+
+def test_find_items_sidecar_captions(tmp_path):
+    d = str(tmp_path / 'ds')
+    _write_images(d, 3)
+    items = training.find_items(d)
+    assert len(items) == 3
+    assert items[1][1] == 'a photo number 1'
+
+
+def test_find_items_metadata_jsonl_wins(tmp_path):
+    d = str(tmp_path / 'ds')
+    _write_images(d, 2)
+    with open(os.path.join(d, 'metadata.jsonl'), 'w') as f:
+        f.write(json.dumps({'file_name': 'img_0.png', 'text': 'meta cap'}) +
+                '\n')
+    items = training.find_items(d)
+    assert dict((os.path.basename(p), c) for p, c in items) == {
+        'img_0.png': 'meta cap', 'img_1.png': 'a photo number 1'}
+
+
+def test_find_items_default_caption(tmp_path):
+    d = str(tmp_path / 'ds')
+    _write_images(d, 2, captions=False)
+    items = training.find_items(d, default_caption='sks style')
+    assert all(c == 'sks style' for _, c in items)
+
+
+def test_find_items_empty_raises(tmp_path):
+    with pytest.raises(ValueError):
+        training.find_items(str(tmp_path))
+
+
+def test_load_pixels_center_crop(tmp_path):
+    d = str(tmp_path / 'ds')
+    _write_images(d, 1)
+    px = training.load_pixels(os.path.join(d, 'img_0.png'), 16)
+    assert px.shape == (16, 16, 3)
+    assert px.min() >= -1.0 and px.max() <= 1.0
+
+
+@pytest.fixture(scope='module')
+def tiny_models():
+    unet = UNet2DCondition(TINY_UNET)
+    vae = AutoencoderKL(TINY_VAE)
+    k = jax.random.PRNGKey(0)
+    up = unet.init(k, jnp.zeros((1, 2, 2, 4)), jnp.zeros((1,)),
+                   jnp.zeros((1, 77, 32)))
+    vp = vae.init(k, jnp.zeros((1, 8, 8, 3)), k)
+    return unet, up, vae, vp
+
+
+def test_encode_dataset_shapes_and_batches(tmp_path, tiny_models):
+    unet, up, vae, vp = tiny_models
+    d = str(tmp_path / 'ds')
+    _write_images(d, 5)  # 5 items, encode_batch 2 → tail padding path
+    items = training.find_items(d)
+    ds = training.encode_dataset(items, vae, vp, StubEncoder(),
+                                 resolution=16, encode_batch=2)
+    assert len(ds) == 5
+    f = TINY_VAE.block_channels
+    assert ds.mean.shape == (5, 16 // 2**(len(f) - 1), 16 // 2**(len(f) - 1),
+                             4)
+    assert ds.context.shape == (5, 77, 32)
+    it = ds.batches(2, jax.random.PRNGKey(0))
+    lat, ctx = next(it)
+    assert lat.shape[0] == 2 and ctx.shape == (2, 77, 32)
+    # Fresh posterior draws: two batches with identical indices differ.
+    lat2, _ = next(it)
+    assert lat.shape == lat2.shape
+    # Small-dataset path: batch larger than the dataset samples w/ replace.
+    big, _ = next(ds.batches(8, jax.random.PRNGKey(1)))
+    assert big.shape[0] == 8
+
+
+def test_train_lora_end_to_end_and_reload(tmp_path, tiny_models):
+    """Folder → encode → train_lora → safetensors → apply_lora merges."""
+    unet, up, vae, vp = tiny_models
+    d = str(tmp_path / 'ds')
+    _write_images(d, 3)
+    ds = training.encode_dataset(training.find_items(d), vae, vp,
+                                 StubEncoder(), resolution=16,
+                                 encode_batch=4)
+    out = str(tmp_path / 'trained.safetensors')
+    cfg = training.TrainConfig(learning_rate=5e-3, weight_decay=0.0)
+    factors, losses = training.train_lora(
+        unet, up, ds, cfg, rank=2, steps=6, batch_size=2,
+        key=jax.random.PRNGKey(0), save_path=out, log_every=2)
+    assert losses and all(np.isfinite(losses))
+    assert os.path.exists(out)
+    from safetensors.numpy import load_file
+
+    from flexdiffuse_tpu.weights import lora as wlora
+    merged, _ = wlora.apply_lora(up, None, load_file(out), scale=1.0)
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), up, merged)
+    assert max(jax.tree_util.tree_leaves(deltas)) > 0
+
+
+def test_train_full_saves_msgpack(tmp_path, tiny_models):
+    unet, up, vae, vp = tiny_models
+    d = str(tmp_path / 'ds')
+    _write_images(d, 2)
+    ds = training.encode_dataset(training.find_items(d), vae, vp,
+                                 StubEncoder(), resolution=16)
+    out = str(tmp_path / 'unet.msgpack')
+    cfg = training.TrainConfig(learning_rate=1e-4, weight_decay=0.0)
+    params, losses = training.train_full(
+        unet, up, ds, cfg, steps=3, batch_size=2,
+        key=jax.random.PRNGKey(0), save_path=out, log_every=1)
+    assert os.path.exists(out) and all(np.isfinite(losses))
+    from flax import serialization
+    with open(out, 'rb') as f:
+        restored = serialization.msgpack_restore(f.read())
+    a = jax.tree_util.tree_leaves(restored)
+    b = jax.tree_util.tree_leaves(params)
+    assert len(a) == len(b)
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def test_cli_train_parser():
+    """The train subcommand parses (model loading needs real snapshots —
+    exercised via the library path above)."""
+    from flexdiffuse_tpu.cli import main
+    import argparse
+    # Missing --data → argparse error (exit 2), proving the parser exists.
+    with pytest.raises(SystemExit) as e:
+        main(['train'])
+    assert e.value.code == 2
