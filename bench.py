@@ -262,6 +262,19 @@ def main() -> None:
     except Exception as e:  # never jeopardize the primary metric
         sdxl = {'error': str(e)[:200]}
 
+    # LCM few-step serving (also subprocess: its own compiled programs).
+    lcm = None
+    try:
+        import subprocess
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          'tools', 'bench_lcm.py'), '--json'],
+            capture_output=True, text=True, timeout=1200)
+        lcm = json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception as e:
+        lcm = {'error': str(e)[:200]}
+
     print(json.dumps({
         'metric': ('sd1.4 512x512 CFG denoise-loop steps/sec/chip '
                    f'(bf16, PLMS, {STEPS}-step scan)'),
@@ -285,6 +298,7 @@ def main() -> None:
         },
         'serving_batch4': serving,
         'sdxl': sdxl,
+        'lcm_4step': lcm,
     }))
 
 

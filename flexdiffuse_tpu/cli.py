@@ -287,18 +287,56 @@ def cmd_train(args) -> int:
     unet = UNet2DCondition(unet_config, dtype=jnp.bfloat16)
     vae = AutoencoderKL(vae_config, dtype=jnp.bfloat16)
 
+    tcfg = training.TrainConfig(learning_rate=args.lr,
+                                prediction_type=prediction,
+                                snr_gamma=args.snr_gamma,
+                                remat=args.remat,
+                                grad_accum=args.grad_accum,
+                                ema_decay=args.ema_decay)
+    if args.textual_inversion:
+        out = args.out or 'embedding.safetensors'
+        paths = [p for p, _ in training.find_items(
+            args.data, default_caption='x')]
+        templates = (training.STYLE_TEMPLATES if args.style_templates
+                     else training.OBJECT_TEMPLATES)
+        training.train_textual_inversion(
+            CLIPTextModel(text_config, dtype=jnp.bfloat16), text_params,
+            tokenizer, unet, unet_params, vae, vae_params, paths,
+            args.textual_inversion, initializer_token=args.init_token,
+            num_vectors=args.num_vectors, templates=templates, cfg=tcfg,
+            steps=args.steps, batch_size=args.batch_size,
+            resolution=args.resolution,
+            key=jax.random.PRNGKey(args.seed or 0), save_path=out)
+        print(f'trained weights written to {out}')
+        return 0
+
     items = training.find_items(args.data, default_caption=args.caption)
     ds = training.encode_dataset(items, vae, vae_params, encoder,
                                  resolution=args.resolution)
-    tcfg = training.TrainConfig(learning_rate=args.lr,
-                                prediction_type=prediction,
-                                snr_gamma=args.snr_gamma)
     mesh = None
     if args.data_parallel > 1:
         from flexdiffuse_tpu.parallel import make_mesh
         mesh = make_mesh(jax.devices()[:args.data_parallel],
                          model_parallel=1)
     key = jax.random.PRNGKey(args.seed if args.seed is not None else 0)
+    if args.class_data:
+        # DreamBooth prior preservation: class images must exist already
+        # (pre-generate with `generate --prompt "<class prompt>"` or
+        # training.generate_class_images).
+        cds = training.encode_dataset(
+            training.find_items(args.class_data,
+                                default_caption=args.class_caption),
+            vae, vae_params, encoder, resolution=args.resolution)
+        mode = 'full' if args.full else 'lora'
+        out = args.out or ('finetuned_unet.msgpack' if args.full
+                           else 'lora.safetensors')
+        training.train_dreambooth(
+            unet, unet_params, ds, cds, cfg=tcfg,
+            prior_weight=args.prior_weight, mode=mode, rank=args.rank,
+            steps=args.steps, batch_size=args.batch_size, key=key,
+            mesh=mesh, save_path=out)
+        print(f'trained weights written to {out}')
+        return 0
     if args.full:
         out = args.out or 'finetuned_unet.msgpack'
         training.train_full(unet, unet_params, ds, tcfg, steps=args.steps,
@@ -412,6 +450,34 @@ def main(argv=None) -> int:
     p.add_argument('--resolution', type=int, default=512)
     p.add_argument('--full', action='store_true',
                    help='fine-tune the whole UNet instead of LoRA factors')
+    p.add_argument('--textual-inversion', default='', metavar='PLACEHOLDER',
+                   help='train a textual-inversion embedding for this '
+                        'placeholder token (e.g. "<my-concept>") instead '
+                        'of LoRA/full')
+    p.add_argument('--init-token', default='',
+                   help='textual inversion: single token whose embedding '
+                        'seeds the new vectors')
+    p.add_argument('--num-vectors', type=int, default=1,
+                   help='textual inversion: vectors per concept')
+    p.add_argument('--style-templates', action='store_true',
+                   help='textual inversion: use the style (painting) '
+                        'template set instead of the object one')
+    p.add_argument('--remat', default='none',
+                   choices=('none', 'dots', 'full'),
+                   help='activation rematerialization (memory for compute; '
+                        '"full" fits whole-UNet training on one chip)')
+    p.add_argument('--grad-accum', type=int, default=1,
+                   help='micro-batches per optimizer step')
+    p.add_argument('--ema-decay', type=float, default=0.0,
+                   help='EMA of trained params (e.g. 0.9999; 0 = off)')
+    p.add_argument('--class-data', default='',
+                   help='DreamBooth prior preservation: folder of class '
+                        'images (pre-generate with the generate command)')
+    p.add_argument('--class-caption', default='',
+                   help='caption for class images without sidecars (e.g. '
+                        '"a photo of a dog")')
+    p.add_argument('--prior-weight', type=float, default=1.0,
+                   help='DreamBooth prior-preservation loss weight')
     p.add_argument('--rank', type=int, default=8, help='LoRA rank')
     p.add_argument('--steps', type=int, default=500)
     p.add_argument('--batch-size', type=int, default=4)

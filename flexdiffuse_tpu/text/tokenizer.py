@@ -218,14 +218,33 @@ class FakeTokenizer:
         # argmax-of-ids EOS pooling convention holds.
         self.bos_token_id = vocab_size - 2
         self.eos_token_id = vocab_size - 1
+        self.added_tokens: dict = {}
+        self._added_count = 0
+
+    def add_tokens(self, name: str, num_vectors: int = 1):
+        """Mirror CLIPTokenizer.add_tokens: fresh ids past the vocab."""
+        name = name.lower()
+        if name in self.added_tokens:
+            raise ValueError(f'token {name!r} already added')
+        base = self.vocab_size + self._added_count
+        ids = list(range(base, base + num_vectors))
+        self.added_tokens[name] = ids
+        self._added_count += num_vectors
+        return ids
 
     def encode(self, text: str):
         """Content ids without specials (mirrors CLIPTokenizer.encode).
         crc32, not hash(): Python's hash is salted per process and would
         break cross-process determinism."""
         words = _whitespace_clean(text).lower().split()
-        return [2 + (zlib.crc32(w.encode()) % (self.vocab_size - 4))
-                for w in words]
+        out = []
+        for w in words:
+            if w in self.added_tokens:
+                out.extend(self.added_tokens[w])
+            else:
+                out.append(2 + (zlib.crc32(w.encode()) %
+                                (self.vocab_size - 4)))
+        return out
 
     def __call__(self, prompts: Union[str, Sequence[str]],
                  max_length: int | None = None,

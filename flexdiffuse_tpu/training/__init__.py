@@ -15,9 +15,17 @@ See :mod:`flexdiffuse_tpu.training.train` for design notes. Quick use::
     training.export_lora_safetensors(factors, 'my_lora.safetensors')
 """
 from flexdiffuse_tpu.training.data import (EncodedDataset, encode_dataset,
-                                           find_items, load_pixels)
+                                           encode_images, find_items,
+                                           load_pixels)
+from flexdiffuse_tpu.training.dreambooth import (generate_class_images,
+                                                  train_dreambooth)
 from flexdiffuse_tpu.training.loop import train_full, train_lora
+from flexdiffuse_tpu.training.textual_inversion import (OBJECT_TEMPLATES,
+                                                        STYLE_TEMPLATES,
+                                                        make_ti_train_step,
+                                                        train_textual_inversion)
 from flexdiffuse_tpu.training.train import (TrainConfig, diffusion_loss,
+                                            ema_update,
                                             export_lora_safetensors,
                                             init_lora, make_lora_train_step,
                                             make_optimizer, make_train_step,
@@ -26,7 +34,10 @@ from flexdiffuse_tpu.training.train import (TrainConfig, diffusion_loss,
 __all__ = [
     'TrainConfig', 'diffusion_loss', 'make_optimizer', 'make_train_step',
     'init_lora', 'merge_lora_params', 'make_lora_train_step',
-    'export_lora_safetensors',
+    'export_lora_safetensors', 'ema_update',
     'EncodedDataset', 'find_items', 'load_pixels', 'encode_dataset',
-    'train_lora', 'train_full',
+    'train_lora', 'train_full', 'encode_images',
+    'make_ti_train_step', 'train_textual_inversion',
+    'OBJECT_TEMPLATES', 'STYLE_TEMPLATES',
+    'train_dreambooth', 'generate_class_images',
 ]

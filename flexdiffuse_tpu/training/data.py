@@ -131,17 +131,16 @@ class EncodedDataset:
                 yield sample(idx, draw)
 
 
-def encode_dataset(items: Sequence[Tuple[str, str]], vae, vae_params,
-                   encoder, resolution: int = 512,
-                   encode_batch: int = 8) -> EncodedDataset:
-    """Encode a dataset folder once: images through the VAE encoder (jitted,
-    fixed-shape batches with tail padding) and captions through the CLIP
-    text tower (``encoder.prompt``, already jitted)."""
+def encode_images(paths: Sequence[str], vae, vae_params,
+                  resolution: int = 512,
+                  encode_batch: int = 8) -> Tuple[Array, Array]:
+    """Image files → VAE posterior ``(mean, logvar)`` ``[N, h, w, 4]``,
+    encoded in jitted fixed-shape batches with tail padding."""
     enc = jax.jit(lambda p, x: vae.apply(p, x, method=vae.encode))
     means, logvars = [], []
-    for i in range(0, len(items), encode_batch):
-        chunk = items[i:i + encode_batch]
-        px = np.stack([load_pixels(p, resolution) for p, _ in chunk])
+    for i in range(0, len(paths), encode_batch):
+        chunk = paths[i:i + encode_batch]
+        px = np.stack([load_pixels(p, resolution) for p in chunk])
         if len(chunk) < encode_batch:  # pad to the compiled batch shape
             px = np.concatenate(
                 [px, np.zeros((encode_batch - len(chunk),) + px.shape[1:],
@@ -149,6 +148,17 @@ def encode_dataset(items: Sequence[Tuple[str, str]], vae, vae_params,
         m, lv = enc(vae_params, jnp.asarray(px))
         means.append(m[:len(chunk)])
         logvars.append(lv[:len(chunk)])
+    return jnp.concatenate(means), jnp.concatenate(logvars)
+
+
+def encode_dataset(items: Sequence[Tuple[str, str]], vae, vae_params,
+                   encoder, resolution: int = 512,
+                   encode_batch: int = 8) -> EncodedDataset:
+    """Encode a dataset folder once: images through the VAE encoder (jitted,
+    fixed-shape batches with tail padding) and captions through the CLIP
+    text tower (``encoder.prompt``, already jitted)."""
+    mean, logvar = encode_images([p for p, _ in items], vae, vae_params,
+                                 resolution, encode_batch)
     captions = [c for _, c in items]
     # One tokenizer/text-encoder pass over the unique captions, gathered
     # back per row (folders repeat captions heavily in concept training).
@@ -156,8 +166,7 @@ def encode_dataset(items: Sequence[Tuple[str, str]], vae, vae_params,
     ctx_u = encoder.prompt(uniq)
     by_cap = {c: i for i, c in enumerate(uniq)}
     ctx = jnp.take(ctx_u, jnp.asarray([by_cap[c] for c in captions]), axis=0)
-    ds = EncodedDataset(jnp.concatenate(means), jnp.concatenate(logvars),
-                        ctx, captions)
+    ds = EncodedDataset(mean, logvar, ctx, captions)
     log.info('encoded %d images (%d unique captions) at %dx%d -> latents %s',
              len(items), len(uniq), resolution, resolution, ds.mean.shape)
     return ds

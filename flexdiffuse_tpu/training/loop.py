@@ -25,12 +25,20 @@ log = logging.getLogger(__name__)
 
 def _run(step_fn, tree, opt_state, dataset: EncodedDataset, steps: int,
          batch_size: int, key: Array, mesh, log_every: int,
-         on_step: Optional[Callable[[int, float], None]]):
+         on_step: Optional[Callable[[int, float], None]],
+         ema_decay: float = 0.0):
     if mesh is not None:
         from flexdiffuse_tpu.parallel.mesh import shard_batch
     data_key, step_key = jax.random.split(key)
     losses: List[float] = []
     it = dataset.batches(batch_size, data_key)
+    # EMA needs its own buffers: the train step donates its param argument,
+    # so aliasing the initial tree would leave ema pointing at freed memory.
+    ema = (jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))(tree)
+           if ema_decay > 0 else None)
+    ema_fn = (jax.jit(lambda e, p: _train.ema_update(e, p, ema_decay),
+                      donate_argnums=(0,))
+              if ema_decay > 0 else None)
     t0 = time.monotonic()
     for i in range(steps):
         latents, context = next(it)
@@ -38,6 +46,8 @@ def _run(step_fn, tree, opt_state, dataset: EncodedDataset, steps: int,
             latents, context = shard_batch((latents, context), mesh)
         step_key, k = jax.random.split(step_key)
         tree, opt_state, loss = step_fn(tree, opt_state, latents, context, k)
+        if ema_fn is not None:
+            ema = ema_fn(ema, tree)
         if log_every and (i % log_every == 0 or i == steps - 1):
             # The fetch synchronizes — keep the cadence coarse on TPU.
             val = float(loss)
@@ -46,7 +56,7 @@ def _run(step_fn, tree, opt_state, dataset: EncodedDataset, steps: int,
                      val, (i + 1) / max(time.monotonic() - t0, 1e-6))
             if on_step is not None:
                 on_step(i, val)
-    return tree, losses
+    return (ema if ema is not None else tree), losses
 
 
 def train_lora(unet, base_params, dataset: EncodedDataset,
@@ -71,7 +81,8 @@ def train_lora(unet, base_params, dataset: EncodedDataset,
     log.info('LoRA training: %d modules at rank %d, %d steps, batch %d',
              len(factors), rank, steps, batch_size)
     factors, losses = _run(step_fn, factors, opt_state, dataset, steps,
-                           batch_size, run_key, mesh, log_every, on_step)
+                           batch_size, run_key, mesh, log_every, on_step,
+                           ema_decay=cfg.ema_decay)
     if save_path:
         n = _train.export_lora_safetensors(factors, save_path)
         log.info('wrote %d LoRA modules to %s', n, save_path)
@@ -87,14 +98,17 @@ def train_full(unet, params, dataset: EncodedDataset,
     """Full-model fine-tune: returns ``(params, loss_history)``;
     ``save_path`` writes the trained tree as msgpack (the same format the
     weight-loading cache uses — point ``weights.load`` at it or hand it to
-    ``Runner.from_models``)."""
+    ``Runner.from_models``). With ``cfg.ema_decay > 0`` the returned/saved
+    tree is the EMA of the trajectory (the diffusers convention for the
+    shipped checkpoint)."""
     cfg = cfg or _train.TrainConfig()
     key = key if key is not None else jax.random.PRNGKey(0)
     step_fn, tx = _train.make_train_step(unet, cfg, mesh=mesh)
     opt_state = tx.init(params)
     log.info('full fine-tune: %d steps, batch %d', steps, batch_size)
     params, losses = _run(step_fn, params, opt_state, dataset, steps,
-                          batch_size, key, mesh, log_every, on_step)
+                          batch_size, key, mesh, log_every, on_step,
+                          ema_decay=cfg.ema_decay)
     if save_path:
         from flax import serialization
         with open(save_path, 'wb') as f:

@@ -49,14 +49,69 @@ class TrainConfig:
     # AdamW betas (diffusers defaults).
     b1: float = 0.9
     b2: float = 0.999
+    # Rematerialization: 'none' saves all activations; 'full' saves only
+    # the step inputs and recomputes the forward during the backward pass
+    # (~⅓ more FLOPs, activation memory ~O(1) — the standard trade for
+    # real-geometry training on one chip); 'dots' keeps matmul/conv
+    # outputs (cheap to hold, expensive to recompute) and recomputes the
+    # bandwidth-bound rest.
+    remat: str = 'none'
+    # Gradient accumulation: the optimizer applies every k-th step
+    # (optax.MultiSteps) — effective batch = k × micro-batch with no
+    # activation-memory growth.
+    grad_accum: int = 1
+    # EMA of the trained params (0 → off). Applied by the loop driver
+    # (training/loop.py), not inside the jitted step.
+    ema_decay: float = 0.0
+    # Donate the trainable tree + optimizer state to the step (the update
+    # aliases their buffers instead of allocating fresh trees — required
+    # for 860M-param Adam to fit on one 16 GB chip). Donated inputs are
+    # DELETED after the call: keep False when reusing a tree across calls
+    # (exactness tests, sweeps over one base).
+    donate: bool = True
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(cfg.learning_rate, b1=cfg.b1, b2=cfg.b2,
                     weight_decay=cfg.weight_decay),
     )
+    if cfg.grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)
+    return tx
+
+
+def _remat_apply(apply_fn: Callable, cfg: TrainConfig) -> Callable:
+    """Training-path apply: XLA attention (the Pallas flash kernel is a
+    forward-only custom call with no VJP — XLA's fused attention is the
+    differentiable path) plus the configured rematerialization."""
+    from flexdiffuse_tpu.ops import attention as _attn
+
+    def xla_attn_apply(*args, **kwargs):
+        # The backend contextvar is read at trace time inside the wrapped
+        # trace, so the scope covers every attention site in the model.
+        with _attn.backend('xla'):
+            return apply_fn(*args, **kwargs)
+
+    if cfg.remat == 'none':
+        return xla_attn_apply
+    if cfg.remat == 'full':
+        return jax.checkpoint(xla_attn_apply)
+    if cfg.remat == 'dots':
+        return jax.checkpoint(
+            xla_attn_apply,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    raise ValueError(f'unknown remat mode {cfg.remat!r}')
+
+
+def ema_update(ema_params, params, decay: float):
+    """One EMA step ``ema ← decay·ema + (1−decay)·params`` (fp32 math,
+    cast back to each leaf's dtype)."""
+    return jax.tree_util.tree_map(
+        lambda e, p: (decay * e.astype(jnp.float32) +
+                      (1.0 - decay) * p.astype(jnp.float32)).astype(e.dtype),
+        ema_params, params)
 
 
 def _schedule_tables(cfg: TrainConfig) -> Array:
@@ -67,10 +122,13 @@ def _schedule_tables(cfg: TrainConfig) -> Array:
 
 def diffusion_loss(apply_fn: Callable, params, latents: Array,
                    context: Array, key: Array, acp: Array,
-                   cfg: TrainConfig, **apply_kwargs) -> Array:
+                   cfg: TrainConfig, sample_weights: Optional[Array] = None,
+                   **apply_kwargs) -> Array:
     """Mean denoising loss over a batch of clean (pre-scaled) latents.
 
     ``apply_fn(params, noisy, t, context, **apply_kwargs) -> prediction``.
+    ``sample_weights`` ``[B]`` scales per-sample losses (DreamBooth prior
+    preservation: 1 for instance rows, ``prior_weight`` for class rows).
     """
     b = latents.shape[0]
     k_t, k_n = jax.random.split(key)
@@ -95,6 +153,8 @@ def diffusion_loss(apply_fn: Callable, params, latents: Array,
         if cfg.prediction_type == 'v_prediction':
             w = jnp.minimum(snr, cfg.snr_gamma) / (snr + 1.0)
         per = per * w
+    if sample_weights is not None:
+        per = per * sample_weights.astype(jnp.float32)
     return jnp.mean(per)
 
 
@@ -102,29 +162,40 @@ def diffusion_loss(apply_fn: Callable, params, latents: Array,
 # Full-model training
 
 
-def make_train_step(unet, cfg: TrainConfig, mesh=None):
+def make_train_step(unet, cfg: TrainConfig, mesh=None,
+                    sample_weights=None):
     """``step(params, opt_state, latents, context, key) ->
     (params, opt_state, loss)`` — one jitted update.
 
     With ``mesh`` (a ``(data, model)`` Mesh from parallel/mesh.py), params
     ride the tensor-parallel layout and the batch shards on the data axis;
     the global-mean loss makes GSPMD reduce gradients across chips.
+    ``sample_weights`` ``[B]`` fixes per-row loss weights (DreamBooth
+    prior preservation — training/dreambooth.py builds the batches).
     """
     tx = make_optimizer(cfg)
     acp = _schedule_tables(cfg)
+    apply_fn = _remat_apply(unet.apply, cfg)
+    sw = None if sample_weights is None else jnp.asarray(
+        sample_weights, jnp.float32)
 
     def step(params, opt_state, latents, context, key):
         def loss_fn(p):
-            return diffusion_loss(unet.apply, p, latents, context, key,
-                                  acp, cfg)
+            return diffusion_loss(apply_fn, p, latents, context, key,
+                                  acp, cfg, sample_weights=sw)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    # params/opt_state are donated: the update aliases their buffers in
+    # place of allocating fresh 3.44 GB trees — what lets the 860M-param
+    # Adam state + grads fit next to activations on one 16 GB chip. (The
+    # CPU backend ignores donation; callers there may reuse the inputs.)
+    don = (0, 1) if cfg.donate else ()
     if mesh is None:
-        return jax.jit(step), tx
+        return jax.jit(step, donate_argnums=don), tx
     # GSPMD infers grad/opt-state layouts from the param placement
     # (parallel/mesh.py shard_params); only the batch needs a constraint.
     from flexdiffuse_tpu.parallel.mesh import batch_sharding
@@ -135,7 +206,7 @@ def make_train_step(unet, cfg: TrainConfig, mesh=None):
         context = jax.lax.with_sharding_constraint(context, bsh)
         return step(params, opt_state, latents, context, key)
 
-    return jax.jit(sharded_step), tx
+    return jax.jit(sharded_step, donate_argnums=don), tx
 
 
 # ---------------------------------------------------------------------------
@@ -214,35 +285,49 @@ def merge_lora_params(params, factors: Dict[str, dict],
 
 
 def make_lora_train_step(unet, base_params, cfg: TrainConfig,
-                         scale: float = 1.0, mesh=None):
+                         scale: float = 1.0, mesh=None,
+                         sample_weights=None):
     """``step(factors, opt_state, latents, context, key) ->
     (factors, opt_state, loss)`` — LoRA-only update; the base tree is a
     closed-over constant (donated weights stay untouched)."""
     tx = make_optimizer(cfg)
     acp = _schedule_tables(cfg)
+    apply_fn = _remat_apply(unet.apply, cfg)
+    sw = None if sample_weights is None else jnp.asarray(
+        sample_weights, jnp.float32)
 
-    def step(factors, opt_state, latents, context, key):
+    # base_params ride as a jit ARGUMENT (not a closure): closed-over
+    # device trees are baked into the lowered module as constants — 3.44 GB
+    # of captured bytes at SD-1.4 geometry, duplicated per executable.
+    def step(base, factors, opt_state, latents, context, key):
         def loss_fn(f):
-            eff = merge_lora_params(base_params, f, scale)
-            return diffusion_loss(unet.apply, eff, latents, context, key,
-                                  acp, cfg)
+            eff = merge_lora_params(base, f, scale)
+            return diffusion_loss(apply_fn, eff, latents, context, key,
+                                  acp, cfg, sample_weights=sw)
 
         loss, grads = jax.value_and_grad(loss_fn)(factors)
         updates, opt_state = tx.update(grads, opt_state, factors)
         factors = optax.apply_updates(factors, updates)
         return factors, opt_state, loss
 
+    don = (1, 2) if cfg.donate else ()
     if mesh is None:
-        return jax.jit(step), tx
-    from flexdiffuse_tpu.parallel.mesh import batch_sharding
-    bsh = batch_sharding(mesh)
+        jitted = jax.jit(step, donate_argnums=don)
+    else:
+        from flexdiffuse_tpu.parallel.mesh import batch_sharding
+        bsh = batch_sharding(mesh)
 
-    def sharded_step(factors, opt_state, latents, context, key):
-        latents = jax.lax.with_sharding_constraint(latents, bsh)
-        context = jax.lax.with_sharding_constraint(context, bsh)
-        return step(factors, opt_state, latents, context, key)
+        def sharded_step(base, factors, opt_state, latents, context, key):
+            latents = jax.lax.with_sharding_constraint(latents, bsh)
+            context = jax.lax.with_sharding_constraint(context, bsh)
+            return step(base, factors, opt_state, latents, context, key)
 
-    return jax.jit(sharded_step), tx
+        jitted = jax.jit(sharded_step, donate_argnums=don)
+
+    def public_step(factors, opt_state, latents, context, key):
+        return jitted(base_params, factors, opt_state, latents, context, key)
+
+    return public_step, tx
 
 
 # ---------------------------------------------------------------------------

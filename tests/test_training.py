@@ -66,7 +66,8 @@ def test_v_prediction_target():
 
 def test_full_training_reduces_loss(unet_and_params):
     unet, params = unet_and_params
-    cfg = training.TrainConfig(learning_rate=3e-4, weight_decay=0.0)
+    cfg = training.TrainConfig(learning_rate=3e-4, weight_decay=0.0,
+                               donate=False)
     step, tx = training.make_train_step(unet, cfg)
     opt_state = tx.init(params)
     lat, ctx = _batch()
@@ -99,7 +100,8 @@ def test_lora_init_and_exact_noop(unet_and_params):
 
 def test_lora_training_reduces_loss_and_preserves_base(unet_and_params):
     unet, params = unet_and_params
-    cfg = training.TrainConfig(learning_rate=1e-2, weight_decay=0.0)
+    cfg = training.TrainConfig(learning_rate=1e-2, weight_decay=0.0,
+                               donate=False)
     factors = training.init_lora(params, rank=4)
     step, tx = training.make_lora_train_step(unet, params, cfg)
     opt_state = tx.init(factors)
@@ -142,6 +144,65 @@ def test_lora_export_roundtrip(unet_and_params, tmp_path):
                                    rtol=0, atol=1e-5)
 
 
+@pytest.mark.parametrize('mode', ['full', 'dots'])
+def test_remat_matches_no_remat(unet_and_params, mode):
+    """Rematerialization changes memory, not math: one step with remat
+    produces the same params as without."""
+    unet, params = unet_and_params
+    lat, ctx = _batch(2)
+    key = jax.random.PRNGKey(13)
+    outs = []
+    for remat in ('none', mode):
+        cfg = training.TrainConfig(learning_rate=1e-3, weight_decay=0.0,
+                                   remat=remat, donate=False)
+        step, tx = training.make_train_step(unet, cfg)
+        p, _, loss = step(params, tx.init(params), lat, ctx, key)
+        outs.append((p, float(loss)))
+    assert outs[0][1] == outs[1][1]
+    # Remat changes fusion groupings, which perturbs isolated grad
+    # elements at float-epsilon scale (Adam's rescaling amplifies to a few
+    # e-5 on the updated params); the loss itself is bit-equal.
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][0]),
+                    jax.tree_util.tree_leaves(outs[1][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=5e-5)
+
+
+def test_grad_accum_matches_single_step(unet_and_params):
+    """k identical micro-batches through MultiSteps(k) == one plain step
+    on that batch (grads average to the same value)."""
+    unet, params = unet_and_params
+    lat, ctx = _batch(3)
+    key = jax.random.PRNGKey(17)
+
+    plain = training.TrainConfig(learning_rate=1e-3, weight_decay=0.0,
+                                 donate=False)
+    step1, tx1 = training.make_train_step(unet, plain)
+    p_ref, _, _ = step1(params, tx1.init(params), lat, ctx, key)
+
+    acc = training.TrainConfig(learning_rate=1e-3, weight_decay=0.0,
+                               grad_accum=2, donate=False)
+    step2, tx2 = training.make_train_step(unet, acc)
+    o = tx2.init(params)
+    p, o, _ = step2(params, o, lat, ctx, key)
+    # After the first micro-step params must be UNCHANGED (accumulating).
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    p, o, _ = step2(p, o, lat, ctx, key)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2e-6)
+
+
+def test_ema_update_formula():
+    ema = {'k': jnp.ones((3,), jnp.float32)}
+    cur = {'k': jnp.full((3,), 2.0, jnp.float32)}
+    out = training.train.ema_update(ema, cur, 0.9)
+    np.testing.assert_allclose(np.asarray(out['k']), 1.1, rtol=1e-6)
+
+
 def test_dp_mesh_step_matches_single_device(unet_and_params):
     """The sharded train step over an 8-way data mesh produces the same
     update as the unsharded step (global-mean loss → averaged grads)."""
@@ -149,7 +210,8 @@ def test_dp_mesh_step_matches_single_device(unet_and_params):
         pytest.skip('needs the 8-device CPU mesh')
     from flexdiffuse_tpu.parallel.mesh import make_mesh, shard_batch
     unet, params = unet_and_params
-    cfg = training.TrainConfig(learning_rate=1e-3, weight_decay=0.0)
+    cfg = training.TrainConfig(learning_rate=1e-3, weight_decay=0.0,
+                               donate=False)
     mesh = make_mesh(jax.devices()[:8], model_parallel=1)
     rng = np.random.default_rng(11)
     lat = jnp.asarray(rng.normal(size=(8, 8, 8, 4)).astype(np.float32))

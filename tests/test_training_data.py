@@ -142,7 +142,8 @@ def test_train_full_saves_msgpack(tmp_path, tiny_models):
     ds = training.encode_dataset(training.find_items(d), vae, vp,
                                  StubEncoder(), resolution=16)
     out = str(tmp_path / 'unet.msgpack')
-    cfg = training.TrainConfig(learning_rate=1e-4, weight_decay=0.0)
+    cfg = training.TrainConfig(learning_rate=1e-4, weight_decay=0.0,
+                               donate=False)
     params, losses = training.train_full(
         unet, up, ds, cfg, steps=3, batch_size=2,
         key=jax.random.PRNGKey(0), save_path=out, log_every=1)
