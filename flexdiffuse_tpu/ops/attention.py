@@ -134,8 +134,11 @@ def attention(q: Array, k: Array, v: Array,
         # cross-attention kv=77): nothing to stream there.
         backend = 'xla'
     if backend == 'flash':
-        from flexdiffuse_tpu.ops.flash_attention import flash_attention
-        return flash_attention(q, k, v, scale)
+        # The differentiable wrapper's primal IS the inference kernel
+        # (ops/flash_backward.py custom_vjp) — identical bytes when not
+        # differentiated, Pallas backward kernels under jax.grad.
+        from flexdiffuse_tpu.ops.flash_backward import flash_attention_diff
+        return flash_attention_diff(q, k, v, scale)
     return xla_attention(q, k, v, scale)
 
 
@@ -184,6 +187,7 @@ def attention_cm(q: Array, k: Array, v: Array,
     elif backend == 'flash' and not eligible:
         backend = 'xla'
     if backend == 'flash':
-        from flexdiffuse_tpu.ops.flash_attention import flash_attention_cm
-        return flash_attention_cm(q, k, v, scale)
+        from flexdiffuse_tpu.ops.flash_backward import \
+            flash_attention_cm_diff
+        return flash_attention_cm_diff(q, k, v, scale)
     return xla_attention_cm(q, k, v, scale)

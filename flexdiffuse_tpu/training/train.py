@@ -69,6 +69,11 @@ class TrainConfig:
     # DELETED after the call: keep False when reusing a tree across calls
     # (exactness tests, sweeps over one base).
     donate: bool = True
+    # Attention backend for the training forward/backward: 'auto' rides
+    # the flash kernels (differentiable via ops/flash_backward.py Pallas
+    # VJP — ~2× the XLA path at SD's d=40 heads); 'xla' forces the fused
+    # XLA path (the pre-VJP behavior, kept for A/B and debugging).
+    attention_backend: str = 'auto'
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -83,24 +88,24 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 
 def _remat_apply(apply_fn: Callable, cfg: TrainConfig) -> Callable:
-    """Training-path apply: XLA attention (the Pallas flash kernel is a
-    forward-only custom call with no VJP — XLA's fused attention is the
-    differentiable path) plus the configured rematerialization."""
+    """Training-path apply: attention backend scope (flash is
+    differentiable through the Pallas VJP, ops/flash_backward.py; 'xla'
+    forces the fused path) plus the configured rematerialization."""
     from flexdiffuse_tpu.ops import attention as _attn
 
-    def xla_attn_apply(*args, **kwargs):
+    def scoped_apply(*args, **kwargs):
         # The backend contextvar is read at trace time inside the wrapped
         # trace, so the scope covers every attention site in the model.
-        with _attn.backend('xla'):
+        with _attn.backend(cfg.attention_backend):
             return apply_fn(*args, **kwargs)
 
     if cfg.remat == 'none':
-        return xla_attn_apply
+        return scoped_apply
     if cfg.remat == 'full':
-        return jax.checkpoint(xla_attn_apply)
+        return jax.checkpoint(scoped_apply)
     if cfg.remat == 'dots':
         return jax.checkpoint(
-            xla_attn_apply,
+            scoped_apply,
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
     raise ValueError(f'unknown remat mode {cfg.remat!r}')
 
