@@ -262,18 +262,24 @@ def main() -> None:
     except Exception as e:  # never jeopardize the primary metric
         sdxl = {'error': str(e)[:200]}
 
-    # LCM few-step serving (also subprocess: its own compiled programs).
-    lcm = None
-    try:
-        import subprocess
-        proc = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          'tools', 'bench_lcm.py'), '--json'],
-            capture_output=True, text=True, timeout=1200)
-        lcm = json.loads(proc.stdout.strip().splitlines()[-1])
-    except Exception as e:
-        lcm = {'error': str(e)[:200]}
+    # LCM few-step serving and the training step (subprocesses: each owns
+    # multi-GB buffers that don't fit next to this process's live SD-1.4
+    # state).
+    import subprocess
+
+    def _sub(tool, timeout):
+        try:
+            proc = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              'tools', tool), '--json'],
+                capture_output=True, text=True, timeout=timeout)
+            return json.loads(proc.stdout.strip().splitlines()[-1])
+        except Exception as e:
+            return {'error': str(e)[:200]}
+
+    lcm = _sub('bench_lcm.py', 1200)
+    train = _sub('bench_train.py', 1800)
 
     print(json.dumps({
         'metric': ('sd1.4 512x512 CFG denoise-loop steps/sec/chip '
@@ -299,6 +305,7 @@ def main() -> None:
         'serving_batch4': serving,
         'sdxl': sdxl,
         'lcm_4step': lcm,
+        'training': train,
     }))
 
 
