@@ -15,6 +15,7 @@ See :mod:`flexdiffuse_tpu.training.train` for design notes. Quick use::
     training.export_lora_safetensors(factors, 'my_lora.safetensors')
 """
 from flexdiffuse_tpu.training.data import (EncodedDataset, encode_dataset,
+                                           encode_dataset_sdxl,
                                            encode_images, find_items,
                                            load_pixels)
 from flexdiffuse_tpu.training.dreambooth import (generate_class_images,
@@ -36,7 +37,7 @@ __all__ = [
     'init_lora', 'merge_lora_params', 'make_lora_train_step',
     'export_lora_safetensors', 'ema_update',
     'EncodedDataset', 'find_items', 'load_pixels', 'encode_dataset',
-    'train_lora', 'train_full', 'encode_images',
+    'train_lora', 'train_full', 'encode_images', 'encode_dataset_sdxl',
     'make_ti_train_step', 'train_textual_inversion',
     'OBJECT_TEMPLATES', 'STYLE_TEMPLATES',
     'train_dreambooth', 'generate_class_images',

@@ -93,29 +93,53 @@ class EncodedDataset:
     """
 
     def __init__(self, mean: Array, logvar: Array, context: Array,
-                 captions: Sequence[str]):
+                 captions: Sequence[str], pooled: Optional[Array] = None,
+                 time_ids: Optional[Array] = None):
         if not (mean.shape[0] == logvar.shape[0] == context.shape[0]):
             raise ValueError('row-count mismatch between latents and context')
+        if pooled is not None and pooled.shape[0] != mean.shape[0]:
+            raise ValueError('row-count mismatch on pooled embeds')
         self.mean = mean
         self.logvar = logvar
         self.context = context
         self.captions = list(captions)
+        # SDXL conditioning: per-row pooled second-encoder embeds plus the
+        # dataset-constant micro-conditioning ids ([1, 6], models/sdxl.py
+        # time_ids). When set, batches yield a third element — the
+        # ``added_cond`` dict the SDXL UNet takes.
+        self.pooled = pooled
+        self.time_ids = time_ids
 
     def __len__(self) -> int:
         return int(self.mean.shape[0])
 
     def batches(self, batch_size: int,
-                key: Array) -> Iterator[Tuple[Array, Array]]:
-        """Infinite shuffled ``(latents, context)`` batches (drop-last;
-        datasets smaller than ``batch_size`` sample with replacement)."""
+                key: Array) -> Iterator[Tuple[Array, ...]]:
+        """Infinite shuffled ``(latents, context[, added_cond])`` batches
+        (drop-last; datasets smaller than ``batch_size`` sample with
+        replacement). The third element appears only for SDXL datasets
+        (``pooled`` set): ``{'text_embeds': [B, D], 'time_ids': [B, 6]}``.
+        """
         n = len(self)
-        sample = jax.jit(
-            lambda idx, k: (
-                (jnp.take(self.mean, idx, axis=0) +
-                 jnp.exp(0.5 * jnp.take(self.logvar, idx, axis=0)) *
-                 jax.random.normal(k, (idx.shape[0],) + self.mean.shape[1:],
-                                   jnp.float32)) * LATENT_SCALE,
-                jnp.take(self.context, idx, axis=0)))
+        sdxl = self.pooled is not None
+
+        def _sample(idx, k):
+            lat = ((jnp.take(self.mean, idx, axis=0) +
+                    jnp.exp(0.5 * jnp.take(self.logvar, idx, axis=0)) *
+                    jax.random.normal(
+                        k, (idx.shape[0],) + self.mean.shape[1:],
+                        jnp.float32)) * LATENT_SCALE)
+            ctx = jnp.take(self.context, idx, axis=0)
+            if not sdxl:
+                return lat, ctx
+            added = {
+                'text_embeds': jnp.take(self.pooled, idx, axis=0),
+                'time_ids': jnp.broadcast_to(
+                    self.time_ids, (idx.shape[0], self.time_ids.shape[-1])),
+            }
+            return lat, ctx, added
+
+        sample = jax.jit(_sample)
         epoch_key = key
         while True:
             epoch_key, perm_key = jax.random.split(epoch_key)
@@ -169,4 +193,30 @@ def encode_dataset(items: Sequence[Tuple[str, str]], vae, vae_params,
     ds = EncodedDataset(mean, logvar, ctx, captions)
     log.info('encoded %d images (%d unique captions) at %dx%d -> latents %s',
              len(items), len(uniq), resolution, resolution, ds.mean.shape)
+    return ds
+
+
+def encode_dataset_sdxl(items: Sequence[Tuple[str, str]], vae, vae_params,
+                        encoder, resolution: int = 1024,
+                        encode_batch: int = 4) -> EncodedDataset:
+    """SDXL variant: ``encoder`` is a :class:`~flexdiffuse_tpu.models.sdxl.
+    SDXLTextEncoder` — captions encode to (dual-tower context, pooled) and
+    the dataset carries the micro-conditioning ids for its resolution
+    (original = target = train resolution, no crop: the standard
+    fine-tuning conditioning)."""
+    from flexdiffuse_tpu.models.sdxl import time_ids as _time_ids
+    mean, logvar = encode_images([p for p, _ in items], vae, vae_params,
+                                 resolution, encode_batch)
+    captions = [c for _, c in items]
+    uniq = sorted(set(captions))
+    ctx_u, pooled_u = encoder.encode(uniq)
+    by_cap = {c: i for i, c in enumerate(uniq)}
+    rows = jnp.asarray([by_cap[c] for c in captions])
+    ds = EncodedDataset(
+        mean, logvar, jnp.take(ctx_u, rows, axis=0), captions,
+        pooled=jnp.take(pooled_u, rows, axis=0),
+        time_ids=_time_ids(original_size=(resolution, resolution),
+                           target_size=(resolution, resolution)))
+    log.info('encoded %d SDXL images (%d unique captions) at %dx%d',
+             len(items), len(uniq), resolution, resolution)
     return ds

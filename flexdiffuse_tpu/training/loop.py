@@ -41,11 +41,15 @@ def _run(step_fn, tree, opt_state, dataset: EncodedDataset, steps: int,
               if ema_decay > 0 else None)
     t0 = time.monotonic()
     for i in range(steps):
-        latents, context = next(it)
+        batch = next(it)
+        extra = batch[2] if len(batch) == 3 else None  # SDXL added_cond
+        latents, context = batch[0], batch[1]
         if mesh is not None:
-            latents, context = shard_batch((latents, context), mesh)
+            latents, context, extra = shard_batch(
+                (latents, context, extra), mesh)
         step_key, k = jax.random.split(step_key)
-        tree, opt_state, loss = step_fn(tree, opt_state, latents, context, k)
+        tree, opt_state, loss = step_fn(tree, opt_state, latents, context,
+                                        k, extra)
         if ema_fn is not None:
             ema = ema_fn(ema, tree)
         if log_every and (i % log_every == 0 or i == steps - 1):

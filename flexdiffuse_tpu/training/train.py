@@ -184,10 +184,12 @@ def make_train_step(unet, cfg: TrainConfig, mesh=None,
     sw = None if sample_weights is None else jnp.asarray(
         sample_weights, jnp.float32)
 
-    def step(params, opt_state, latents, context, key):
+    def step(params, opt_state, latents, context, key, extra):
+        kw = {} if extra is None else {'added_cond': extra}
+
         def loss_fn(p):
             return diffusion_loss(apply_fn, p, latents, context, key,
-                                  acp, cfg, sample_weights=sw)
+                                  acp, cfg, sample_weights=sw, **kw)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -200,18 +202,27 @@ def make_train_step(unet, cfg: TrainConfig, mesh=None,
     # CPU backend ignores donation; callers there may reuse the inputs.)
     don = (0, 1) if cfg.donate else ()
     if mesh is None:
-        return jax.jit(step, donate_argnums=don), tx
-    # GSPMD infers grad/opt-state layouts from the param placement
-    # (parallel/mesh.py shard_params); only the batch needs a constraint.
-    from flexdiffuse_tpu.parallel.mesh import batch_sharding
-    bsh = batch_sharding(mesh)
+        jitted = jax.jit(step, donate_argnums=don)
+    else:
+        # GSPMD infers grad/opt-state layouts from the param placement
+        # (parallel/mesh.py shard_params); only the batch needs a
+        # constraint.
+        from flexdiffuse_tpu.parallel.mesh import batch_sharding
+        bsh = batch_sharding(mesh)
 
-    def sharded_step(params, opt_state, latents, context, key):
-        latents = jax.lax.with_sharding_constraint(latents, bsh)
-        context = jax.lax.with_sharding_constraint(context, bsh)
-        return step(params, opt_state, latents, context, key)
+        def sharded_step(params, opt_state, latents, context, key, extra):
+            latents = jax.lax.with_sharding_constraint(latents, bsh)
+            context = jax.lax.with_sharding_constraint(context, bsh)
+            return step(params, opt_state, latents, context, key, extra)
 
-    return jax.jit(sharded_step, donate_argnums=don), tx
+        jitted = jax.jit(sharded_step, donate_argnums=don)
+
+    def public_step(params, opt_state, latents, context, key, extra=None):
+        # ``extra`` (SDXL added_cond {'text_embeds', 'time_ids'}) rides as
+        # an optional trailing pytree — None compiles the plain signature.
+        return jitted(params, opt_state, latents, context, key, extra)
+
+    return public_step, tx
 
 
 # ---------------------------------------------------------------------------
@@ -304,11 +315,13 @@ def make_lora_train_step(unet, base_params, cfg: TrainConfig,
     # base_params ride as a jit ARGUMENT (not a closure): closed-over
     # device trees are baked into the lowered module as constants — 3.44 GB
     # of captured bytes at SD-1.4 geometry, duplicated per executable.
-    def step(base, factors, opt_state, latents, context, key):
+    def step(base, factors, opt_state, latents, context, key, extra):
+        kw = {} if extra is None else {'added_cond': extra}
+
         def loss_fn(f):
             eff = merge_lora_params(base, f, scale)
             return diffusion_loss(apply_fn, eff, latents, context, key,
-                                  acp, cfg, sample_weights=sw)
+                                  acp, cfg, sample_weights=sw, **kw)
 
         loss, grads = jax.value_and_grad(loss_fn)(factors)
         updates, opt_state = tx.update(grads, opt_state, factors)
@@ -322,15 +335,18 @@ def make_lora_train_step(unet, base_params, cfg: TrainConfig,
         from flexdiffuse_tpu.parallel.mesh import batch_sharding
         bsh = batch_sharding(mesh)
 
-        def sharded_step(base, factors, opt_state, latents, context, key):
+        def sharded_step(base, factors, opt_state, latents, context, key,
+                         extra):
             latents = jax.lax.with_sharding_constraint(latents, bsh)
             context = jax.lax.with_sharding_constraint(context, bsh)
-            return step(base, factors, opt_state, latents, context, key)
+            return step(base, factors, opt_state, latents, context, key,
+                        extra)
 
         jitted = jax.jit(sharded_step, donate_argnums=don)
 
-    def public_step(factors, opt_state, latents, context, key):
-        return jitted(base_params, factors, opt_state, latents, context, key)
+    def public_step(factors, opt_state, latents, context, key, extra=None):
+        return jitted(base_params, factors, opt_state, latents, context,
+                      key, extra)
 
     return public_step, tx
 
