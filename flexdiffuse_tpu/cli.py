@@ -358,6 +358,14 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_serve_api(args) -> int:
+    from flexdiffuse_tpu.serving import launch
+    launch(lambda: _runner(args), port=args.port, lan=args.lan,
+           max_batch_rows=args.max_batch, max_wait_ms=args.max_wait_ms,
+           fixed_rows=args.deterministic).serve_forever()
+    return 0
+
+
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO,
                         format='%(asctime)s %(name)s %(message)s')
@@ -499,6 +507,22 @@ def main(argv=None) -> int:
     p.add_argument('--port', type=int, default=7860)
     p.add_argument('--out', default='./outputs')
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser('serve-api',
+                       help='launch the batched JSON serving API')
+    _add_model_args(p)
+    p.add_argument('--lan', action='store_true')
+    p.add_argument('--port', type=int, default=8000)
+    p.add_argument('--max-batch', type=int, default=8,
+                   help='max fused rows per device dispatch')
+    p.add_argument('--max-wait-ms', type=float, default=30.0,
+                   help='batching window before a partial batch dispatches')
+    p.add_argument('--deterministic', action='store_true',
+                   help='pad every dispatch to --max-batch rows: one '
+                        'compiled batch shape, bitwise-reproducible '
+                        'results regardless of batch composition')
+    p.add_argument('--out', default='./outputs')
+    p.set_defaults(fn=cmd_serve_api)
 
     args = parser.parse_args(argv)
     return args.fn(args)

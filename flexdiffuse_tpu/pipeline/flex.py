@@ -313,7 +313,8 @@ class FlexPipeline:
                  control_image: Optional[Union[Image.Image,
                                                np.ndarray]] = None,
                  controlnet_scale: float = 1.0,
-                 init_latents: Optional[Array] = None):
+                 init_latents: Optional[Array] = None,
+                 noise: Optional[Array] = None):
         """Generate images (reference ``FlexPipeline.__call__``
         pipeline/flex.py:126-310; ``generator`` → explicit PRNG ``key``).
 
@@ -321,6 +322,11 @@ class FlexPipeline:
         a pixel- or latent-space map where 1 = regenerate and 0 = keep the
         ``init_image`` content; requires ``init_image``. The kept region is
         re-anchored to the init latents at each step's noise level.
+
+        ``noise`` (txt2img only): caller-supplied unit-normal latents
+        ``[B, H/f, W/f, C]`` used instead of the internal ``key`` draw —
+        the serving API builds these per-row so a request's sampling
+        trajectory doesn't depend on what it was batched with.
         """
         if strength < 0 or strength > 1:
             raise ValueError('The value of strength should in [0.0, 1.0] '
@@ -468,10 +474,15 @@ class FlexPipeline:
                                            init_timestep)
         else:
             height, width = init_size
-            latents = jax.random.normal(
-                k_noise,
-                (batch_size, height // f, width // f, self.latent_channels),
-                jnp.float32)
+            want = (batch_size, height // f, width // f,
+                    self.latent_channels)
+            if noise is not None:
+                latents = jnp.asarray(noise, jnp.float32)
+                if latents.shape != want:
+                    raise ValueError(
+                        f'noise shape {latents.shape} != {want}')
+            else:
+                latents = jax.random.normal(k_noise, want, jnp.float32)
             if schedule.kind in schedulers.SIGMA_SPACE_KINDS:
                 latents = latents * schedule.sigmas[0]
             t_start = 0
