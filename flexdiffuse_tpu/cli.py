@@ -337,16 +337,18 @@ def cmd_train(args) -> int:
             mesh=mesh, save_path=out)
         print(f'trained weights written to {out}')
         return 0
+    ckpt_kw = dict(checkpoint_dir=args.checkpoint_dir,
+                   checkpoint_every=args.checkpoint_every)
     if args.full:
         out = args.out or 'finetuned_unet.msgpack'
         training.train_full(unet, unet_params, ds, tcfg, steps=args.steps,
                             batch_size=args.batch_size, key=key, mesh=mesh,
-                            save_path=out)
+                            save_path=out, **ckpt_kw)
     else:
         out = args.out or 'lora.safetensors'
         training.train_lora(unet, unet_params, ds, tcfg, rank=args.rank,
                             steps=args.steps, batch_size=args.batch_size,
-                            key=key, mesh=mesh, save_path=out)
+                            key=key, mesh=mesh, save_path=out, **ckpt_kw)
     print(f'trained weights written to {out}')
     return 0
 
@@ -495,6 +497,11 @@ def main(argv=None) -> int:
                         'sweet spot; 0 = uniform)')
     p.add_argument('--data-parallel', type=int, default=1,
                    help='shard batches over this many chips')
+    p.add_argument('--checkpoint-dir', default='',
+                   help='orbax checkpoint directory; if it already holds '
+                        'a checkpoint, training resumes from it')
+    p.add_argument('--checkpoint-every', type=int, default=100,
+                   help='optimizer steps between checkpoints')
     p.add_argument('--seed', type=int, default=None)
     p.add_argument('--out', default='',
                    help='output path (default lora.safetensors / '

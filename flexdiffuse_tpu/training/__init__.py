@@ -14,6 +14,7 @@ See :mod:`flexdiffuse_tpu.training.train` for design notes. Quick use::
     ...
     training.export_lora_safetensors(factors, 'my_lora.safetensors')
 """
+from flexdiffuse_tpu.training.checkpoint import TrainCheckpointer
 from flexdiffuse_tpu.training.data import (EncodedDataset, encode_dataset,
                                            encode_dataset_sdxl,
                                            encode_images, find_items,
@@ -41,4 +42,5 @@ __all__ = [
     'make_ti_train_step', 'train_textual_inversion',
     'OBJECT_TEMPLATES', 'STYLE_TEMPLATES',
     'train_dreambooth', 'generate_class_images',
+    'TrainCheckpointer',
 ]

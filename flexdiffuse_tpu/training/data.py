@@ -113,12 +113,19 @@ class EncodedDataset:
     def __len__(self) -> int:
         return int(self.mean.shape[0])
 
-    def batches(self, batch_size: int,
-                key: Array) -> Iterator[Tuple[Array, ...]]:
+    def batches(self, batch_size: int, key: Array,
+                skip: int = 0) -> Iterator[Tuple[Array, ...]]:
         """Infinite shuffled ``(latents, context[, added_cond])`` batches
         (drop-last; datasets smaller than ``batch_size`` sample with
         replacement). The third element appears only for SDXL datasets
         (``pooled`` set): ``{'text_embeds': [B, D], 'time_ids': [B, 6]}``.
+
+        ``skip`` fast-forwards the stream past its first ``skip`` batches
+        (checkpoint resume, training/checkpoint.py): the stream is a pure
+        function of ``key``, so whole skipped epochs replay only the
+        key-split chain (one jitted ``fori_loop``, no sample compute) and
+        ``batches(bs, k, skip=s)`` yields exactly what the ``s``-th
+        ``next()`` of ``batches(bs, k)`` would.
         """
         n = len(self)
         sdxl = self.pooled is not None
@@ -140,7 +147,16 @@ class EncodedDataset:
             return lat, ctx, added
 
         sample = jax.jit(_sample)
+        order_len = batch_size if n < batch_size else n
+        per_epoch = len(range(0, max(order_len - batch_size + 1, 1),
+                              batch_size))
+        full_epochs, rem = divmod(max(skip, 0), per_epoch)
         epoch_key = key
+        if full_epochs:
+            # Each epoch consumes 1 (perm) + per_epoch (draws) splits.
+            epoch_key = jax.jit(lambda k: jax.lax.fori_loop(
+                0, full_epochs * (1 + per_epoch),
+                lambda _, c: jax.random.split(c)[0], k))(epoch_key)
         while True:
             epoch_key, perm_key = jax.random.split(epoch_key)
             if n < batch_size:
@@ -150,8 +166,11 @@ class EncodedDataset:
                 order = np.asarray(jax.random.permutation(perm_key, n))
             for i in range(0, max(len(order) - batch_size + 1, 1),
                            batch_size):
-                idx = jnp.asarray(order[i:i + batch_size], jnp.int32)
                 epoch_key, draw = jax.random.split(epoch_key)
+                if rem:  # partial-epoch resume: replay splits only
+                    rem -= 1
+                    continue
+                idx = jnp.asarray(order[i:i + batch_size], jnp.int32)
                 yield sample(idx, draw)
 
 
