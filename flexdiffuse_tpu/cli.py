@@ -24,11 +24,11 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
                    help='dir with HF snapshots of SD-1.4 and CLIP ViT-L/14')
     p.add_argument('--scheduler', default='pndm',
                    choices=('ddim', 'pndm', 'lms', 'euler', 'euler_a',
-                            'dpmpp', 'lcm'))
+                            'dpmpp', 'lcm', 'ddpm', 'unipc'))
     p.add_argument('--clip-skip', type=int, default=0, choices=(0, 1),
                    help='1 = condition on the penultimate CLIP layer')
     p.add_argument('--karras', action='store_true',
-                   help='Karras sigma spacing (euler/euler_a/dpmpp)')
+                   help='Karras sigma spacing (euler/euler_a/dpmpp/unipc)')
     p.add_argument('--v-prediction', action='store_true',
                    help='v-parameterized model (use with --model-family sd2 '
                         'for SD2.1 768-v checkpoints)')

@@ -24,9 +24,9 @@ def main() -> None:
     parser.add_argument('--port', type=int, default=7860)
     parser.add_argument('--scheduler', default='pndm',
                         choices=('ddim', 'pndm', 'lms', 'euler', 'euler_a',
-                                 'dpmpp'))
+                                 'dpmpp', 'ddpm', 'unipc'))
     parser.add_argument('--karras', action='store_true',
-                        help='Karras sigma spacing (euler/euler_a/dpmpp)')
+                        help='Karras sigma spacing (euler/euler_a/dpmpp/unipc)')
     parser.add_argument('--v-prediction', action='store_true',
                         help='v-parameterized model (with --model-family sd2 for SD2.1 768-v)')
     parser.add_argument('--model-family', default='sd1',

@@ -16,12 +16,14 @@ import jax
 import jax.numpy as jnp
 
 from flexdiffuse_tpu.schedulers import ddim as _ddim
+from flexdiffuse_tpu.schedulers import ddpm as _ddpm
 from flexdiffuse_tpu.schedulers import dpmpp as _dpmpp
 from flexdiffuse_tpu.schedulers import euler as _euler
 from flexdiffuse_tpu.schedulers import euler_ancestral as _euler_a
 from flexdiffuse_tpu.schedulers import lcm as _lcm
 from flexdiffuse_tpu.schedulers import lms as _lms
 from flexdiffuse_tpu.schedulers import pndm as _pndm
+from flexdiffuse_tpu.schedulers import unipc as _unipc
 from flexdiffuse_tpu.schedulers.base import (SIGMA_SPACE_KINDS, Schedule,
                                              SchedulerConfig, alphas_cumprod,
                                              ddim_like_add_noise,
@@ -29,7 +31,11 @@ from flexdiffuse_tpu.schedulers.base import (SIGMA_SPACE_KINDS, Schedule,
 
 _KINDS = {'ddim': _ddim, 'pndm': _pndm, 'lms': _lms,
           'euler': _euler, 'euler_a': _euler_a, 'dpmpp': _dpmpp,
-          'lcm': _lcm}
+          'lcm': _lcm, 'ddpm': _ddpm, 'unipc': _unipc}
+
+# VP-space kinds that carry per-position (α, σ) tables (fractional-timestep
+# exact conversions for Karras spacing).
+_VP_TABLE_KINDS = ('dpmpp', 'unipc')
 
 Array = jax.Array
 
@@ -40,10 +46,10 @@ def make(kind: str, steps: int,
         raise ValueError(f'unknown scheduler {kind!r}; one of {list(_KINDS)}')
     config = config or SchedulerConfig(kind=kind)
     if config.use_karras_sigmas and kind not in ('euler', 'euler_a',
-                                                 'dpmpp'):
+                                                 'dpmpp', 'unipc'):
         raise ValueError(
-            'use_karras_sigmas is only supported for euler/euler_a/dpmpp, '
-            f'not {kind!r}')
+            'use_karras_sigmas is only supported for '
+            f'euler/euler_a/dpmpp/unipc, not {kind!r}')
     if config.prediction_type not in ('epsilon', 'v_prediction'):
         raise ValueError(
             f'unknown prediction_type {config.prediction_type!r}')
@@ -79,7 +85,7 @@ def convert_v_prediction(schedule: Schedule, v: Array, i: Array,
         sigma = schedule.sigmas[i]
         return x * (sigma / (sigma * sigma + 1.0)) + v * jax.lax.rsqrt(
             sigma * sigma + 1.0)
-    if schedule.kind == 'dpmpp':
+    if schedule.kind in _VP_TABLE_KINDS:
         return schedule.vp_sigma[i] * x + schedule.vp_alpha[i] * v
     t = jnp.clip(schedule.timesteps[i].astype(jnp.int32), 0,
                  schedule.num_train_timesteps - 1)
@@ -108,7 +114,7 @@ def add_noise(schedule: Schedule, sample: Array, noise: Array,
         mod = _lms if schedule.kind == 'lms' else _euler
         return mod.add_noise(schedule, sample, noise,
                              schedule.num_steps - init_timestep)
-    if schedule.kind == 'dpmpp':
+    if schedule.kind in _VP_TABLE_KINDS:
         # Position-indexed VP tables: exact for fractional (Karras)
         # timesteps where value-indexed alpha-bar would floor.
         idx = schedule.num_steps - int(init_timestep)
@@ -146,7 +152,7 @@ def anchor_noise(schedule: Schedule, sample: Array, noise: Array, i: Array,
     if schedule.kind in SIGMA_SPACE_KINDS:
         sigma = schedule.sigmas[jnp.clip(i + 1, 0, length)]
         return (f32 + n32 * sigma).astype(sample.dtype)
-    if schedule.kind == 'dpmpp':
+    if schedule.kind in _VP_TABLE_KINDS:
         clamped = jnp.clip(i + 1, 0, length - 1)
         clean = i + 1 >= length
         a = jnp.where(clean, 1.0, schedule.vp_alpha[clamped])

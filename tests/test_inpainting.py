@@ -66,7 +66,7 @@ def test_keep_all_mask_returns_vae_roundtrip():
     np.testing.assert_allclose(out, expect, atol=1e-4)
 
 
-@pytest.mark.parametrize('kind', ['pndm', 'euler', 'dpmpp'])
+@pytest.mark.parametrize('kind', ['pndm', 'euler', 'dpmpp', 'unipc'])
 def test_half_mask_keeps_half_latents(pipe, kind):
     """Latent-level check (the VAE's global mid-attention makes *decoded*
     pixels everywhere depend on all latents, so the kept region is asserted

@@ -10,7 +10,7 @@ SHAPE = (1, 4, 8, 8)
 
 
 def test_registry_has_new_kinds():
-    for kind in ('euler', 'dpmpp'):
+    for kind in ('euler', 'dpmpp', 'unipc', 'ddpm'):
         sch = schedulers.make(kind, 10)
         assert sch.length == 10
 
@@ -106,7 +106,7 @@ def test_dpmpp_final_step_returns_x0_pred():
     np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-5)
 
 
-@pytest.mark.parametrize('kind', ['euler', 'dpmpp'])
+@pytest.mark.parametrize('kind', ['euler', 'dpmpp', 'unipc', 'ddpm'])
 def test_img2img_noising(kind):
     sch = schedulers.make(kind, 30)
     it, ts = schedulers.init_timestep_info(sch, 0.6, 30)
@@ -134,7 +134,7 @@ def test_pipeline_runs_with_new_schedulers():
             np.float32)),
         uncond=jnp.asarray(rng.normal(size=(1, 77, 32)).astype(np.float32)),
         guidance_scale=jnp.float32(8.0), cfg=True)
-    for kind in ('euler', 'dpmpp'):
+    for kind in ('euler', 'dpmpp', 'unipc', 'ddpm'):
         pipe = FlexPipeline(unet, up, vae, vp, scheduler=kind)
         out = pipe(g, steps=3, init_size=(64, 64), output_type='np',
                    key=jax.random.PRNGKey(1))

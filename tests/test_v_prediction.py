@@ -13,7 +13,8 @@ import pytest
 
 from flexdiffuse_tpu import schedulers
 
-KINDS = ['ddim', 'pndm', 'lms', 'euler', 'euler_a', 'dpmpp']
+KINDS = ['ddim', 'pndm', 'lms', 'euler', 'euler_a', 'dpmpp', 'unipc',
+         'ddpm']
 
 
 def _make(kind, steps, v=False):
@@ -37,7 +38,7 @@ def test_conversion_recovers_epsilon_analytically(kind):
             so = sigma * sa
             v = sa * eps - so * x0
         else:
-            if kind == 'dpmpp':
+            if kind in ('dpmpp', 'unipc'):
                 sa, so = float(sch.vp_alpha[i]), float(sch.vp_sigma[i])
             else:
                 t = int(sch.timesteps[i])
@@ -57,7 +58,7 @@ def _v_from_eps(sch, kind, eps, i, sample):
         sigma = sch.sigmas[i]
         return (eps - sample * sigma / (sigma**2 + 1.0)) * jnp.sqrt(
             sigma**2 + 1.0)
-    if kind == 'dpmpp':
+    if kind in ('dpmpp', 'unipc'):
         return (eps - sch.vp_sigma[i] * sample) / sch.vp_alpha[i]
     t = jnp.clip(sch.timesteps[i].astype(jnp.int32), 0,
                  sch.num_train_timesteps - 1)
