@@ -24,11 +24,11 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
                    help='dir with HF snapshots of SD-1.4 and CLIP ViT-L/14')
     p.add_argument('--scheduler', default='pndm',
                    choices=('ddim', 'pndm', 'lms', 'euler', 'euler_a',
-                            'dpmpp', 'lcm', 'ddpm', 'unipc'))
+                            'dpmpp', 'lcm', 'ddpm', 'unipc', 'heun'))
     p.add_argument('--clip-skip', type=int, default=0, choices=(0, 1),
                    help='1 = condition on the penultimate CLIP layer')
     p.add_argument('--karras', action='store_true',
-                   help='Karras sigma spacing (euler/euler_a/dpmpp/unipc)')
+                   help='Karras sigma spacing (euler/euler_a/dpmpp/unipc/heun)')
     p.add_argument('--v-prediction', action='store_true',
                    help='v-parameterized model (use with --model-family sd2 '
                         'for SD2.1 768-v checkpoints)')
@@ -183,9 +183,33 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def _apply_pipe_options(runner, args) -> None:
+    """Post-construction pipeline knobs shared by generate/serve: FreeU and
+    tiled VAE (SD1.x runner; the SDXL runner rejects them for now)."""
+    freeu = getattr(args, 'freeu', '')
+    if freeu:
+        if not hasattr(runner, 'enable_freeu'):
+            raise SystemExit('--freeu is not supported for this model '
+                             'family yet')
+        if freeu.strip().lower() == 'on':
+            runner.enable_freeu()
+        else:
+            vals = [float(v) for v in freeu.split(',')]
+            if len(vals) != 4:
+                raise SystemExit("--freeu expects 'b1,b2,s1,s2' or 'on'")
+            runner.enable_freeu(*vals)
+    tile = getattr(args, 'vae_tile', 0)
+    if tile:
+        if not hasattr(runner, 'enable_vae_tiling'):
+            raise SystemExit('--vae-tile is not supported for this model '
+                             'family yet')
+        runner.enable_vae_tiling(tile)
+
+
 def cmd_generate(args) -> int:
     from PIL import Image
     runner = _runner(args)
+    _apply_pipe_options(runner, args)
     guide = None
     if args.guide:
         guide = Image.open(args.guide) if os.path.exists(args.guide) \
@@ -214,6 +238,7 @@ def cmd_generate(args) -> int:
         controlnet_scale=getattr(args, 'controlnet_scale', 1.0),
         ip_image=ip_img, ip_scale=getattr(args, 'ip_scale', 1.0),
         long_prompt=getattr(args, 'long_prompt', False),
+        weighted=getattr(args, 'weighted', False),
         **({'refine_strength': getattr(args, 'refine_strength', 0.3)}
            if getattr(args, 'model_family', 'sd1') == 'sdxl' else {}))
     print(f'{len(imgs)} image(s) written to {runner.output_dir}')
@@ -405,6 +430,17 @@ def main(argv=None) -> int:
                    help='chunked encoding for >75-token prompts (A1111 '
                         'convention; with --guide, the tween applies to the '
                         'first 77-token window)')
+    p.add_argument('--freeu', default='',
+                   help="FreeU 'b1,b2,s1,s2' (empty = off; 'on' = the "
+                        "SD1.x defaults 1.5,1.6,0.9,0.2)")
+    p.add_argument('--vae-tile', type=int, default=0,
+                   help='tiled VAE decode/encode in N-latent-unit tiles '
+                        '(64 = 512 px); bounds VAE memory for very large '
+                        'images. 0 = off')
+    p.add_argument('--weighted', action='store_true',
+                   help='parse A1111 emphasis syntax — (word:1.3), [word], '
+                        'BREAK — in prompt and negative prompt; subsumes '
+                        '--long-prompt')
     p.add_argument('--concepts', default='')
     p.add_argument('--out', default='./outputs')
     p.add_argument('--height', type=int, default=512)

@@ -91,6 +91,62 @@ class CLIPEncoder:
                                output=self._output)   # [k, 77, D]
         return enc.reshape(1, -1, enc.shape[-1])
 
+    def prompt_weighted(self, prompt: str, max_chunks: int = 8) -> Array:
+        """Emphasis-weighted encoding (A1111 ``(word:1.3)`` syntax — see
+        ``text/emphasis.py``). Handles long prompts the same way as
+        :meth:`prompt_chunked` (75-token windows; ``BREAK`` forces a window
+        boundary), scales each token's embedding by its parsed weight, and
+        restores the per-window embedding mean so overall conditioning
+        magnitude (and therefore effective CFG strength) is unchanged.
+        Returns ``[1, 77·k, D]`` (``k=1`` for short prompts)."""
+        from flexdiffuse_tpu.text.emphasis import tokenize_weighted
+        tk = self.tokenizer
+        ids, weights, breaks = tokenize_weighted(tk, prompt)
+        window = tk.model_max_length - 2            # 75 content tokens
+        chunks: list = []
+        cur_i: list = []
+        cur_w: list = []
+        for idx, (i, w) in enumerate(zip(ids, weights)):
+            if (idx in breaks and cur_i) or len(cur_i) == window:
+                chunks.append((cur_i, cur_w))
+                cur_i, cur_w = [], []
+            cur_i.append(i)
+            cur_w.append(w)
+        if cur_i or not chunks:
+            chunks.append((cur_i, cur_w))
+        if len(chunks) > max_chunks:
+            logging.getLogger(__name__).warning(
+                'weighted prompt needs %d chunks; truncating to '
+                'max_chunks=%d', len(chunks), max_chunks)
+            chunks = chunks[:max_chunks]
+        k = len(chunks)
+        rows = np.full((k, tk.model_max_length), tk.eos_token_id, np.int32)
+        wrows = np.ones((k, tk.model_max_length), np.float32)
+        for r, (ci, cw) in enumerate(chunks):
+            rows[r, 0] = tk.bos_token_id
+            rows[r, 1:1 + len(ci)] = ci
+            rows[r, 1 + len(ci)] = tk.eos_token_id
+            wrows[r, 1:1 + len(cw)] = cw
+        enc = self._text_apply(self._text_params, jnp.asarray(rows),
+                               output=self._output)   # [k, 77, D]
+        if np.allclose(wrows, 1.0):
+            return enc.reshape(1, -1, enc.shape[-1])
+        w = jnp.asarray(wrows)[..., None]
+        mean_before = enc.mean(axis=(1, 2), keepdims=True)
+        z = enc * w
+        mean_after = z.mean(axis=(1, 2), keepdims=True)
+        # Multiplicative mean restoration (the community convention). The
+        # degenerate near-zero-mean case (possible with random-init test
+        # towers; real CLIP means are distinctly nonzero) would make the
+        # ratio arbitrary — fall back to an additive shift there, which
+        # restores the mean exactly without rescaling the context.
+        safe = jnp.abs(mean_after) > 1e-6 * jnp.abs(z).mean()
+        ratio = jnp.where(safe,
+                          mean_before / jnp.where(safe, mean_after, 1.0),
+                          1.0)
+        shift = jnp.where(safe, 0.0, mean_before - mean_after)
+        return (z * ratio + shift).reshape(1, -1, z.shape[-1])
+
     def image(self, image) -> Array:
         if isinstance(image, np.ndarray) and image.ndim == 4:
             pixels = jnp.asarray(image)  # already preprocessed NHWC

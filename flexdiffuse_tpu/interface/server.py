@@ -97,6 +97,7 @@ def handle_generate(payload: dict) -> dict:
         ip_image=_b64_to_pil(p.get('ip_image')),
         ip_scale=float(p.get('ip_scale', 1.0)),
         long_prompt=bool(p.get('long_prompt', False)),
+        weighted=bool(p.get('weighted', False)),
         # SDXL-family only (base->refiner two-stage); forwarded only when a
         # client sends it so SD1.x runners never see the kwarg.
         **({'refine_strength': float(p['refine_strength'])}
@@ -164,6 +165,7 @@ table{border-collapse:collapse}td,th{border:1px solid #333;padding:4px}td input{
   <label>IP-Adapter image (needs --ip-adapter)<input type="file" id="ip_image"></label>
   <label>IP scale<input id="ip_scale" type="number" step="0.05" value="1.0"></label>
   <label>Long prompt (chunked &gt;75 tokens)<input id="long_prompt" type="checkbox"></label>
+  <label>Emphasis weighting ((word:1.3))<input id="weighted" type="checkbox"></label>
   <label>Guide image<input type="file" id="guide_image"></label>
   <label>Guide text<input id="guide_text"></label>
   <label>Mapping concepts<input id="mapping_concepts"></label>
@@ -243,6 +245,7 @@ async function generate(){const body={};
  body.ip_image=await file64('ip_image');
  body.ip_scale=document.getElementById('ip_scale').value;
  body.long_prompt=document.getElementById('long_prompt').checked;
+ body.weighted=document.getElementById('weighted').checked;
  post('/api/generate',body,'gallery')}
 async function compose(){const rows=[...document.querySelectorAll('#entities tr')].slice(1)
  .map(tr=>[...tr.querySelectorAll('input')].map(i=>i.value));

@@ -27,6 +27,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from flexdiffuse_tpu.models.configs import UNetConfig
@@ -443,6 +444,24 @@ class Upsample(nn.Module):
                        dtype=self.dtype)(x)
 
 
+def fourier_filter(x: Array, threshold: int, scale: float) -> Array:
+    """FreeU's low-frequency skip attenuation: 2-D FFT over the spatial
+    plane, scale the ``threshold``-radius block around DC by ``scale``,
+    inverse FFT (published FreeU formulation, NHWC here). fp32 compute —
+    XLA lowers the FFT natively on TPU."""
+    x32 = x.astype(jnp.float32)
+    _, H, W, _ = x.shape
+    xf = jnp.fft.fftshift(jnp.fft.fft2(x32, axes=(1, 2)), axes=(1, 2))
+    mask = np.ones((1, H, W, 1), np.float32)
+    cr, cc = H // 2, W // 2
+    mask[:, max(cr - threshold, 0):cr + threshold,
+         max(cc - threshold, 0):cc + threshold] = scale
+    xf = xf * jnp.asarray(mask)
+    out = jnp.fft.ifft2(jnp.fft.ifftshift(xf, axes=(1, 2)),
+                        axes=(1, 2)).real
+    return out.astype(x.dtype)
+
+
 def guidance_scale_embedding(w: Array, dim: int) -> Array:
     """LCM guidance-scale embedding ``[B] -> [B, dim]`` (w is the
     *conditioning* scale, conventionally ``guidance_scale - 1``).
@@ -581,6 +600,12 @@ class UNet2DCondition(nn.Module):
     # GEGLU gelu flavor: None → auto (tanh approximation for bf16-on-TPU,
     # exact erf otherwise); see resolve_approx_gelu.
     approx_gelu: Optional[bool] = None
+    # FreeU (b1, b2, s1, s2): amplify the backbone's first half-channels and
+    # Fourier-attenuate the skips at the two deepest decoder levels
+    # (published FreeU recipe; SD1.x defaults 1.5/1.6/0.9/0.2). None = off.
+    # A static module attribute — toggle via Runner.enable_freeu (clone +
+    # recompile), keeping the scan body free of dead branches.
+    freeu: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, latents: Array, t: Array, context: Array,
@@ -620,7 +645,14 @@ class UNet2DCondition(nn.Module):
         for i, ch in enumerate(reversed(cfg.block_channels)):
             level = num_levels - 1 - i
             for j in range(cfg.layers_per_block + 1):
-                h = jnp.concatenate([h, skips.pop()], axis=-1)
+                skip = skips.pop()
+                if self.freeu is not None and i < 2:
+                    b, s = self.freeu[i], self.freeu[2 + i]
+                    half = h.shape[-1] // 2
+                    h = jnp.concatenate([h[..., :half] * b, h[..., half:]],
+                                        axis=-1)
+                    skip = fourier_filter(skip, 1, s)
+                h = jnp.concatenate([h, skip], axis=-1)
                 h = ResnetBlock(ch, cfg.norm_groups, dtype=self.dtype,
                                 norm_dtype=self.norm_dtype,
                                 name=f'up_{i}_res_{j}')(h, temb)

@@ -102,7 +102,8 @@ class FlexPipeline:
                  latent_scale: float = LATENT_SCALE,
                  sp_mesh=None, sp_axis: str = 'seq',
                  sp_min_seq: int = 4096,
-                 controlnet=None, controlnet_params=None) -> None:
+                 controlnet=None, controlnet_params=None,
+                 vae_tile: int = 0, vae_tile_overlap: int = 8) -> None:
         """``sp_mesh`` (a :class:`jax.sharding.Mesh`) enables sequence-
         parallel generation: latent rows shard over ``sp_axis``, convs/norms
         partition via GSPMD (halo exchanges/psums inserted by XLA), and
@@ -139,6 +140,14 @@ class FlexPipeline:
         self.sp_mesh = sp_mesh
         self.sp_axis = sp_axis
         self.sp_min_seq = sp_min_seq
+        # Tiled VAE (ops/tiled_vae.py): decode/encode in `vae_tile`-latent-
+        # unit tiles with cross-faded overlaps when the canvas exceeds one
+        # tile — bounds VAE activation memory for very large images. Off by
+        # default; ignored under SP (row sharding already splits memory).
+        self.vae_tile = int(vae_tile)
+        self.vae_tile_overlap = int(vae_tile_overlap)
+        if self.vae_tile and self.vae_tile_overlap >= self.vae_tile:
+            raise ValueError('vae_tile_overlap must be < vae_tile')
         self.controlnet = controlnet
         self.controlnet_params = cast_for_module(controlnet_params,
                                                  controlnet)
@@ -254,6 +263,50 @@ class FlexPipeline:
 
         self._decode_u8 = _decode_u8
 
+        @functools.partial(jax.jit, compiler_options=copts)
+        def _encode_moments(vae_params, pixels):
+            # Posterior moments only (no sampling) — the tiled-encode path
+            # cross-fades moments across tile seams, then samples ONCE over
+            # the blended canvas so the overlap regions don't average two
+            # independent noise draws (which would shrink their variance).
+            return vae_apply(vae_params, pixels, method=type(vae).encode)
+
+        self._encode_moments = _encode_moments
+        self._quant_u8 = jax.jit(
+            lambda img: (img * 255.0 + 0.5).astype(jnp.uint8))
+
+    # ------------------------------------------------------------------
+    def _tiling_active(self, h: int, w: int) -> bool:
+        """Latent-space spatial dims ``h×w`` exceed one tile (and SP is not
+        managing memory already)."""
+        return (self.vae_tile > 0 and self.sp_mesh is None
+                and (h > self.vae_tile or w > self.vae_tile))
+
+    def encode_pixels(self, pixels: Array, key: Array) -> Array:
+        """VAE-encode pixels → scaled latents, tiling when enabled and the
+        image exceeds one tile."""
+        f = self.vae_scale
+        if self._tiling_active(pixels.shape[1] // f, pixels.shape[2] // f):
+            from flexdiffuse_tpu.ops.tiled_vae import tiled_apply
+            mean, logvar = tiled_apply(
+                lambda t: self._encode_moments(self.vae_params, t), pixels,
+                self.vae_tile * f, self.vae_tile_overlap * f,
+                out_num=1, out_den=f)
+            z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                key, mean.shape, jnp.float32)
+            return z * self.latent_scale
+        return self._encode(self.vae_params, pixels, key)
+
+    def _decode01(self, latents: Array) -> Array:
+        """Latents → [0,1] images, tiling when enabled."""
+        if self._tiling_active(latents.shape[1], latents.shape[2]):
+            from flexdiffuse_tpu.ops.tiled_vae import tiled_apply
+            return tiled_apply(
+                lambda t: self._decode(self.vae_params, t), latents,
+                self.vae_tile, self.vae_tile_overlap,
+                out_num=self.vae_scale, out_den=1)
+        return self._decode(self.vae_params, latents)
+
     # ------------------------------------------------------------------
     # API-parity shims: attention slicing is obsolete under flash attention
     # (reference pipeline/flex.py:85-110).
@@ -279,7 +332,7 @@ class FlexPipeline:
             return to_pil(np.asarray(self.decode_u8_device(latents)))
         if self.sp_mesh is not None:
             latents = jax.device_put(latents, self._sp_sharding)
-        return np.asarray(self._decode(self.vae_params, latents))
+        return np.asarray(self._decode01(latents))
 
     def decode_u8_device(self, latents: Array) -> Array:
         """VAE decode + uint8 quantize, left ON DEVICE (no host fetch).
@@ -294,6 +347,8 @@ class FlexPipeline:
             # Row-sharded decode: GSPMD propagates the input sharding through
             # the (purely convolutional + one mid-attention) decoder.
             latents = jax.device_put(latents, self._sp_sharding)
+        if self._tiling_active(latents.shape[1], latents.shape[2]):
+            return self._quant_u8(self._decode01(latents))
         return self._decode_u8(self.vae_params, latents)
 
     def __call__(self,
@@ -405,7 +460,7 @@ class FlexPipeline:
             hpix, wpix = pixels.shape[1:3]
             pix_mask = prepare_latent_mask(mask, (hpix, wpix))  # [1,H,W,1]
             masked = pixels * (1.0 - pix_mask)  # keep region only
-            masked_latents = self._encode(self.vae_params, masked, k_enc)
+            masked_latents = self.encode_pixels(masked, k_enc)
             latent_mask = prepare_latent_mask(mask, (hpix // f, wpix // f))
             extra = jnp.concatenate(
                 [latent_mask,
@@ -418,10 +473,11 @@ class FlexPipeline:
                 # ORIGINAL image noised to the matching level (the extra
                 # channels still carry mask + masked-image conditioning).
                 key_e2 = jax.random.fold_in(k_enc, 1)
-                orig = self._encode(self.vae_params, pixels, key_e2)
+                orig = self.encode_pixels(pixels, key_e2)
                 orig = jnp.concatenate([orig] * batch_size)
                 init_timestep, t_start = schedulers.init_timestep_info(
                     schedule, strength, steps)
+                t_start *= schedule.rows_per_step
                 noise = jax.random.normal(k_noise, orig.shape, jnp.float32)
                 latents = schedulers.add_noise(schedule, orig, noise,
                                                init_timestep)
@@ -464,10 +520,11 @@ class FlexPipeline:
                 if isinstance(init_image, Image.Image):
                     init_image = preprocess(init_image)
                 pixels = jnp.asarray(init_image)
-                init_latents = self._encode(self.vae_params, pixels, k_enc)
+                init_latents = self.encode_pixels(pixels, k_enc)
                 init_latents = jnp.concatenate([init_latents] * batch_size)
             init_timestep, t_start = schedulers.init_timestep_info(
                 schedule, strength, steps)
+            t_start *= schedule.rows_per_step
             noise = jax.random.normal(k_noise, init_latents.shape,
                                       jnp.float32)
             latents = schedulers.add_noise(schedule, init_latents, noise,

@@ -132,7 +132,8 @@ def attach_ip_adapter(pipe: FlexPipeline, path: str,
         scheduler=pipe.scheduler_kind, scheduler_config=pipe.scheduler_config,
         latent_scale=pipe.latent_scale, sp_mesh=pipe.sp_mesh,
         sp_axis=pipe.sp_axis, sp_min_seq=pipe.sp_min_seq,
-        controlnet=pipe.controlnet, controlnet_params=pipe.controlnet_params)
+        controlnet=pipe.controlnet, controlnet_params=pipe.controlnet_params,
+        vae_tile=pipe.vae_tile, vae_tile_overlap=pipe.vae_tile_overlap)
     encoder = None
     if image_encoder_dir:
         enc_sd = _load.load_state_dict(image_encoder_dir)
@@ -311,6 +312,48 @@ class Runner:
         return self._ip.fields(ip_embed, ip_image, ip_scale)
 
     # ------------------------------------------------------------------
+    def enable_freeu(self, b1: float = 1.5, b2: float = 1.6,
+                     s1: float = 0.9, s2: float = 0.2) -> None:
+        """FreeU (published recipe; defaults are the SD1.x settings):
+        amplify the backbone half-channels and Fourier-attenuate the skip
+        features at the two deepest decoder levels. No new weights — the
+        UNet is cloned with the static ``freeu`` attribute and the pipeline
+        recompiles once; params/LoRA/adapters are untouched."""
+        self._rebuild_with_unet(self.pipe.unet.clone(freeu=(b1, b2, s1, s2)))
+
+    def disable_freeu(self) -> None:
+        if self.pipe.unet.freeu is not None:
+            self._rebuild_with_unet(self.pipe.unet.clone(freeu=None))
+
+    def _rebuild_with_unet(self, unet) -> None:
+        """Rebuild the pipeline around a cloned UNet module (same params)."""
+        self.pipe = FlexPipeline(
+            unet, self.pipe.unet_params, self.pipe.vae, self.pipe.vae_params,
+            scheduler=self.pipe.scheduler_kind,
+            scheduler_config=self.pipe.scheduler_config,
+            latent_scale=self.pipe.latent_scale, sp_mesh=self.pipe.sp_mesh,
+            sp_axis=self.pipe.sp_axis, sp_min_seq=self.pipe.sp_min_seq,
+            controlnet=self.pipe.controlnet,
+            controlnet_params=self.pipe.controlnet_params,
+            vae_tile=self.pipe.vae_tile,
+            vae_tile_overlap=self.pipe.vae_tile_overlap)
+
+    # ------------------------------------------------------------------
+    def enable_vae_tiling(self, tile: int = 64, overlap: int = 8) -> None:
+        """Decode/encode the VAE in ``tile``-latent-unit tiles with
+        cross-faded ``overlap`` seams once the canvas exceeds one tile
+        (ops/tiled_vae.py) — bounds VAE memory for very large images.
+        ``tile=64`` = 512² pixels per tile. Takes effect immediately (the
+        tiled path reuses the already-compiled per-tile executables)."""
+        if overlap >= tile:
+            raise ValueError('overlap must be < tile')
+        self.pipe.vae_tile = int(tile)
+        self.pipe.vae_tile_overlap = int(overlap)
+
+    def disable_vae_tiling(self) -> None:
+        self.pipe.vae_tile = 0
+
+    # ------------------------------------------------------------------
     def load_controlnet(self, path: str) -> None:
         """Load a diffusers ControlNet snapshot and rebuild the pipeline
         with the control branch attached (models/controlnet.py); pass
@@ -330,7 +373,9 @@ class Runner:
             latent_scale=self.pipe.latent_scale,
             sp_mesh=self.pipe.sp_mesh, sp_axis=self.pipe.sp_axis,
             sp_min_seq=self.pipe.sp_min_seq,
-            controlnet=model, controlnet_params=params)
+            controlnet=model, controlnet_params=params,
+            vae_tile=self.pipe.vae_tile,
+            vae_tile_overlap=self.pipe.vae_tile_overlap)
         log.info('controlnet loaded from %s', path)
 
     # ------------------------------------------------------------------
@@ -448,12 +493,16 @@ class Runner:
             ip_embed=None,
             ip_image: Optional[Image.Image] = None,
             ip_scale: float = 1.0,
-            long_prompt: bool = False):
+            long_prompt: bool = False,
+            weighted: bool = False):
         """Guided generation (reference ``Runner.gen`` utils.py:114-166).
 
         ``negative_prompt`` replaces the empty-string unconditional embedding
         in classifier-free guidance (an addition over the reference, which
-        always uses '' — pipeline/guide.py:30)."""
+        always uses '' — pipeline/guide.py:30). ``weighted`` parses A1111
+        emphasis syntax (``(word:1.3)``, ``[word]``, ``BREAK``) in both the
+        prompt and the negative prompt (``text/emphasis.py``); it subsumes
+        ``long_prompt`` (windows chunk the same way)."""
         if mask is not None and init_image is not None:
             fp = f'inp_ds{int(strength * 100)}'
         elif init_image is not None:
@@ -481,17 +530,20 @@ class Runner:
                                 max_guidance=guide_max_guidance,
                                 header_max=guide_header_max, mode=guide_mode,
                                 reuse=guide_reuse)
+        enc_fn = (self.encoder.prompt_weighted
+                  if weighted else self.encoder.prompt_chunked)
         with self.timer.phase('embeds'):
-            if long_prompt:
-                # A1111-style chunked encoding for >75-token prompts. The
-                # similarity-mapped guide tween is defined on a 77-token
-                # window, so with a guide present it is applied to the
-                # *first* window (A1111-consistent per-window semantics:
-                # guidance binds to the prompt's head) and later chunks pass
-                # through untweened.
+            if long_prompt or weighted:
+                # A1111-style chunked encoding for >75-token prompts (and/or
+                # emphasis weighting). The similarity-mapped guide tween is
+                # defined on a 77-token window, so with a guide present it
+                # is applied to the *first* window (A1111-consistent
+                # per-window semantics: guidance binds to the prompt's head)
+                # and later chunks pass through untweened.
                 if not isinstance(prompt, str):
-                    raise ValueError('long_prompt takes a single prompt')
-                embeds = self.encoder.prompt_chunked(prompt)
+                    raise ValueError(
+                        'long_prompt/weighted take a single prompt')
+                embeds = enc_fn(prompt)
                 has_guide = guide is not None and (not isinstance(guide, str)
                                                    or bool(guide.strip()))
                 if has_guide:
@@ -509,10 +561,10 @@ class Runner:
                 embeds = self.guide.embeds(prompt=prompt, guide=guide,
                                            mapping_concepts=mapping_concepts,
                                            params=params)
-        if long_prompt:
+        if long_prompt or weighted:
             # The negative chunks independently (A1111 convention) and pads
             # with empty-prompt windows up to the positive's chunk count.
-            uncond = self.encoder.prompt_chunked(negative_prompt or '')
+            uncond = enc_fn(negative_prompt or '')
             win = self.encoder.tokenizer.model_max_length
             k = embeds.shape[1] // win
             k_u = uncond.shape[1] // win

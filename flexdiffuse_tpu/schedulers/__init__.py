@@ -20,6 +20,7 @@ from flexdiffuse_tpu.schedulers import ddpm as _ddpm
 from flexdiffuse_tpu.schedulers import dpmpp as _dpmpp
 from flexdiffuse_tpu.schedulers import euler as _euler
 from flexdiffuse_tpu.schedulers import euler_ancestral as _euler_a
+from flexdiffuse_tpu.schedulers import heun as _heun
 from flexdiffuse_tpu.schedulers import lcm as _lcm
 from flexdiffuse_tpu.schedulers import lms as _lms
 from flexdiffuse_tpu.schedulers import pndm as _pndm
@@ -31,7 +32,7 @@ from flexdiffuse_tpu.schedulers.base import (SIGMA_SPACE_KINDS, Schedule,
 
 _KINDS = {'ddim': _ddim, 'pndm': _pndm, 'lms': _lms,
           'euler': _euler, 'euler_a': _euler_a, 'dpmpp': _dpmpp,
-          'lcm': _lcm, 'ddpm': _ddpm, 'unipc': _unipc}
+          'lcm': _lcm, 'ddpm': _ddpm, 'unipc': _unipc, 'heun': _heun}
 
 # VP-space kinds that carry per-position (α, σ) tables (fractional-timestep
 # exact conversions for Karras spacing).
@@ -46,10 +47,10 @@ def make(kind: str, steps: int,
         raise ValueError(f'unknown scheduler {kind!r}; one of {list(_KINDS)}')
     config = config or SchedulerConfig(kind=kind)
     if config.use_karras_sigmas and kind not in ('euler', 'euler_a',
-                                                 'dpmpp', 'unipc'):
+                                                 'dpmpp', 'unipc', 'heun'):
         raise ValueError(
             'use_karras_sigmas is only supported for '
-            f'euler/euler_a/dpmpp/unipc, not {kind!r}')
+            f'euler/euler_a/dpmpp/unipc/heun, not {kind!r}')
     if config.prediction_type not in ('epsilon', 'v_prediction'):
         raise ValueError(
             f'unknown prediction_type {config.prediction_type!r}')
@@ -68,6 +69,8 @@ def scale_model_input(schedule: Schedule, sample: Array, i: Array) -> Array:
         return _lms.scale_model_input(schedule, sample, i)
     if schedule.kind in ('euler', 'euler_a'):
         return _euler.scale_model_input(schedule, sample, i)
+    if schedule.kind == 'heun':
+        return _heun.scale_model_input(schedule, sample, i)
     return sample
 
 
@@ -111,7 +114,7 @@ def add_noise(schedule: Schedule, sample: Array, noise: Array,
     ``timesteps[-init_timestep]`` (flex.py:206-209).
     """
     if schedule.kind in SIGMA_SPACE_KINDS:
-        mod = _lms if schedule.kind == 'lms' else _euler
+        mod = {'lms': _lms, 'heun': _heun}.get(schedule.kind, _euler)
         return mod.add_noise(schedule, sample, noise,
                              schedule.num_steps - init_timestep)
     if schedule.kind in _VP_TABLE_KINDS:

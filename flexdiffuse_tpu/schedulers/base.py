@@ -31,7 +31,7 @@ Array = jax.Array
 
 # Scheduler kinds whose carry lives in k-diffusion sigma space
 # (x = x0 + sigma*eps; input scaling x/sqrt(sigma^2+1)).
-SIGMA_SPACE_KINDS = ('lms', 'euler', 'euler_a')
+SIGMA_SPACE_KINDS = ('lms', 'euler', 'euler_a', 'heun')
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,6 +87,9 @@ class Schedule(struct.PyTreeNode):
     length: int = struct.field(pytree_node=False)
     # v-parameterized model (SD2.x): step() converts v → ε at entry.
     v_prediction: bool = struct.field(pytree_node=False, default=False)
+    # Scan rows per sampling step (heun's predictor+corrector = 2; img2img
+    # t_start in step units scales by this to index rows).
+    rows_per_step: int = struct.field(pytree_node=False, default=1)
 
     timesteps: Array = None          # [L] float32, fed to the UNet
     alphas_cumprod: Array = None     # [num_train_timesteps]

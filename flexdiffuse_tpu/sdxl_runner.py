@@ -141,7 +141,7 @@ class SDXLRunner:
         'guide_reuse': 'reuse',
     }
     _UNSUPPORTED = ('mask', 'control_image', 'mapping_concepts',
-                    'long_prompt')
+                    'long_prompt', 'weighted')
 
     def _ip_fields(self, ip_embed, ip_image, ip_scale: float) -> dict:
         if ip_embed is None and ip_image is None:

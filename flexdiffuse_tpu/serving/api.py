@@ -116,6 +116,10 @@ class GenerationService:
             'samples': samples,
             'guidance_scale': float(p.get('guidance_scale', 8.0)),
             'seed': None if seed is None else int(seed),
+            # Emphasis weighting ((word:1.3) / [word]); batched rows share
+            # one 77-token context, so weighted prompts use a single window
+            # (longer ones truncate, like classic 77-token truncation).
+            'weighted': bool(p.get('weighted', False)),
         }
 
     @staticmethod
@@ -136,8 +140,13 @@ class GenerationService:
         enc = self.runner.encoder
         rows_emb, rows_unc, rows_scale, rows_key = [], [], [], []
         for i, r in enumerate(reqs):
-            emb = enc.prompt(r['prompt'])
-            unc = enc.prompt(r['negative_prompt'] or '')
+            if r.get('weighted'):
+                emb = enc.prompt_weighted(r['prompt'], max_chunks=1)
+                unc = enc.prompt_weighted(r['negative_prompt'] or '',
+                                          max_chunks=1)
+            else:
+                emb = enc.prompt(r['prompt'])
+                unc = enc.prompt(r['negative_prompt'] or '')
             seed = r['seed'] if r['seed'] is not None else int(
                 time.time_ns() % (2**31))
             for s in range(r['samples']):

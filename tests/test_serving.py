@@ -253,3 +253,17 @@ def test_api_concurrent_requests_batch(api_server):
     new_batches = after['batches'] - before['batches']
     assert new_requests == 4
     assert new_batches < 4  # at least some fusion happened
+
+
+def test_api_weighted_prompt(api_server):
+    """weighted=True parses emphasis syntax; same-seed unweighted request
+    differs, and an emphasis-free weighted request matches plain."""
+    base = {'steps': 2, 'width': 64, 'height': 64, 'seed': 21}
+    s1, plain = _post(api_server, {**base, 'prompt': 'a red cat'})
+    s2, same = _post(api_server, {**base, 'prompt': 'a red cat',
+                                  'weighted': True})
+    s3, emph = _post(api_server, {**base, 'prompt': 'a (red:1.8) cat',
+                                  'weighted': True})
+    assert s1 == s2 == s3 == 200
+    assert plain['images'][0] == same['images'][0]
+    assert plain['images'][0] != emph['images'][0]

@@ -231,3 +231,70 @@ def test_long_prompt_with_guide_tween(tiny_runner):
                                guide='a deer', steps=2, init_size=(32, 32),
                                samples=1, seed=4, save=False)
     assert len(short) == 1
+
+
+def test_weighted_prompt_no_emphasis_matches_plain(tiny_runner):
+    """Emphasis-free prompts encode identically through the weighted path."""
+    enc = tiny_runner.encoder
+    np.testing.assert_array_equal(
+        np.asarray(enc.prompt_weighted('a cat sat')),
+        np.asarray(enc.prompt('a cat sat')))
+
+
+def test_weighted_prompt_scales_but_preserves_mean(tiny_runner):
+    """(word:w) changes the embedding; the context mean is restored so CFG
+    magnitude is unchanged (A1111 convention)."""
+    enc = tiny_runner.encoder
+    plain = np.asarray(enc.prompt('a cat sat'), np.float32)
+    weighted = np.asarray(enc.prompt_weighted('a (cat:1.8) sat'), np.float32)
+    assert weighted.shape == plain.shape
+    assert np.abs(weighted - plain).max() > 1e-5
+    # Mean restored up to fp32 accumulation error, measured against the
+    # embedding's own magnitude (the mean itself can be near zero for a
+    # random-init test tower — a relative check on it is ill-posed).
+    assert (abs(weighted.mean() - plain.mean())
+            < 1e-4 * np.abs(plain).mean())
+
+
+def test_weighted_prompt_break_forces_chunk(tiny_runner):
+    enc = tiny_runner.encoder
+    win = enc.tokenizer.model_max_length
+    one = enc.prompt_weighted('a cat')
+    two = enc.prompt_weighted('a cat BREAK a dog')
+    assert one.shape[1] == win
+    assert two.shape[1] == 2 * win
+
+
+def test_weighted_long_prompt_chunks_like_chunked(tiny_runner):
+    enc = tiny_runner.encoder
+    long_text = ' '.join(['a cat sat'] * 40)     # >75 content tokens
+    np.testing.assert_array_equal(
+        np.asarray(enc.prompt_weighted(long_text)),
+        np.asarray(enc.prompt_chunked(long_text)))
+
+
+def test_runner_gen_weighted_end_to_end(tiny_runner):
+    base, _ = tiny_runner.gen(prompt='a cat sat', weighted=True, steps=2,
+                              init_size=(32, 32), samples=1, seed=11,
+                              save=False)
+    emph, _ = tiny_runner.gen(prompt='a (cat:1.8) sat', weighted=True,
+                              steps=2, init_size=(32, 32), samples=1,
+                              seed=11, save=False)
+    assert len(base) == len(emph) == 1
+    # emphasis changed the conditioning, so the image differs
+    assert np.abs(np.asarray(base[0], np.int16) -
+                  np.asarray(emph[0], np.int16)).max() > 0
+    # weighted negative prompts parse too
+    neg, _ = tiny_runner.gen(prompt='a cat sat', weighted=True,
+                             negative_prompt='a (dog:1.5)', steps=2,
+                             init_size=(32, 32), samples=1, seed=11,
+                             save=False)
+    assert len(neg) == 1
+
+
+def test_runner_gen_weighted_with_guide_tween(tiny_runner):
+    """weighted composes with the guide tween (first-window semantics)."""
+    imgs, _ = tiny_runner.gen(prompt='a (cat:1.4) sat', weighted=True,
+                              guide='a deer', steps=2, init_size=(32, 32),
+                              samples=1, seed=5, save=False)
+    assert len(imgs) == 1
