@@ -69,19 +69,23 @@ def tiled_apply(fn: Callable, x: Array, tile: int, overlap: int,
     stride = tile - overlap
     if stride <= 0:
         raise ValueError(f'overlap {overlap} must be < tile {tile}')
-    ys = tile_starts(H, tile, stride)
-    xs = tile_starts(W, tile, stride)
+    # Per-axis effective tile size: a canvas smaller than ``tile`` along one
+    # axis (e.g. a wide-short image) yields sub-tile-sized blocks there —
+    # the blend mask and accumulation slices must match that size.
+    th, tw = min(tile, H), min(tile, W)
+    ys = tile_starts(H, th, stride)
+    xs = tile_starts(W, tw, stride)
 
     def _o(v: int) -> int:
         return v * out_num // out_den
 
-    mask = jnp.asarray(blend_mask(_o(tile), _o(tile), _o(overlap),
+    mask = jnp.asarray(blend_mask(_o(th), _o(tw), _o(overlap),
                                   _o(overlap)))
     acc = None
     wsum = jnp.zeros((1, _o(H), _o(W), 1), jnp.float32)
     for y0 in ys:
         for x0 in xs:
-            out = fn(x[:, y0:y0 + tile, x0:x0 + tile, :])
+            out = fn(x[:, y0:y0 + th, x0:x0 + tw, :])
             oy, ox = _o(y0), _o(x0)
             if acc is None:
                 acc = jax.tree_util.tree_map(
@@ -92,6 +96,5 @@ def tiled_apply(fn: Callable, x: Array, tile: int, overlap: int,
                                   ox:ox + t.shape[2], :].add(
                                       t.astype(jnp.float32) * mask),
                 acc, out)
-            wsum = wsum.at[:, oy:oy + _o(tile), ox:ox + _o(tile), :].add(
-                mask)
+            wsum = wsum.at[:, oy:oy + _o(th), ox:ox + _o(tw), :].add(mask)
     return jax.tree_util.tree_map(lambda a: a / wsum, acc)

@@ -147,6 +147,9 @@ def sweep(pipe: FlexPipeline,
                 'pass the matching init_size')
         init_timestep, t_start = schedulers.init_timestep_info(
             schedule, strength, steps)
+        # Multi-row schedulers (Heun: predictor+corrector rows) index the
+        # scan by row, not step — matches pipeline/flex.py's scaling.
+        t_start *= schedule.rows_per_step
         base = jnp.broadcast_to(z, (n,) + z.shape[1:])
         noise = jax.vmap(
             lambda k: jax.random.normal(k, z.shape[1:], jnp.float32))(

@@ -29,6 +29,15 @@ def test_cli_generate_help_has_reference_params():
         assert flag in r.stdout
 
 
+def test_cli_serve_has_pipe_option_flags():
+    """--freeu/--vae-tile are shared by generate/serve/serve-api (ADVICE
+    r3: they used to be registered on generate only)."""
+    for cmd in ('serve', 'serve-api'):
+        r = _cli(cmd, '--help')
+        assert r.returncode == 0
+        assert '--freeu' in r.stdout and '--vae-tile' in r.stdout
+
+
 def test_cli_convert_missing_models_fails_cleanly():
     r = _cli('convert', '--models', '/nonexistent')
     assert r.returncode != 0
@@ -137,6 +146,46 @@ def test_img2img_sweep():
     imgs_hi = sweep(pipe, emb, unc, keys, steps=4, init_size=(32, 32),
                     mesh=mesh, init_image=init, strength=1.0)
     assert np.abs(imgs - imgs_hi).max() > 1e-6
+
+
+def test_img2img_sweep_heun_row_scales_t_start(monkeypatch):
+    """Heun interleaves predictor+corrector rows (rows_per_step=2): the
+    sweep's img2img t_start must index scan ROWS, matching
+    pipeline/flex.py's scaling — otherwise add_noise noises to the sigma of
+    row 2·t_start while the scan activates at row t_start."""
+    import importlib
+
+    from flexdiffuse_tpu import schedulers
+    from flexdiffuse_tpu.parallel import make_mesh, seed_sweep_keys
+    # The package re-exports the sweep FUNCTION under the same name; fetch
+    # the module itself to monkeypatch its internals.
+    sweep_mod = importlib.import_module('flexdiffuse_tpu.parallel.sweep')
+
+    pipe = _tiny_pipe('heun')
+    schedule = pipe.schedule(4)
+    assert schedule.rows_per_step == 2
+
+    captured = {}
+    orig = sweep_mod._run_sharded
+
+    def spy(pipe, mesh, guidance, latents, t_start, *a, **kw):
+        captured['t_start'] = int(t_start)
+        return orig(pipe, mesh, guidance, latents, t_start, *a, **kw)
+
+    monkeypatch.setattr(sweep_mod, '_run_sharded', spy)
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.normal(size=(1, 77, 32)).astype(np.float32))
+    unc = jnp.asarray(rng.normal(size=(1, 77, 32)).astype(np.float32))
+    init = rng.uniform(-1, 1, size=(1, 32, 32, 3)).astype(np.float32)
+    keys = seed_sweep_keys(3, 8)
+    mesh = make_mesh(model_parallel=1)
+    imgs = sweep_mod.sweep(pipe, emb, unc, keys, steps=4,
+                           init_size=(32, 32), mesh=mesh, init_image=init,
+                           strength=0.5)
+    assert imgs.shape == (8, 32, 32, 3)
+    assert np.isfinite(imgs).all()
+    _, t_start = schedulers.init_timestep_info(schedule, 0.5, 4)
+    assert captured['t_start'] == t_start * schedule.rows_per_step
 
 
 def _tiny_pipe(scheduler='pndm'):

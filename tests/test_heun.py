@@ -115,7 +115,6 @@ def _tiny_pipe(scheduler):
 
 
 def test_heun_pipeline_txt2img_img2img_inpaint():
-    from PIL import Image
     pipe, g = _tiny_pipe('heun')
     out = pipe(g, steps=3, init_size=(32, 32), key=jax.random.PRNGKey(1))
     img = out.images[0]
@@ -124,9 +123,11 @@ def test_heun_pipeline_txt2img_img2img_inpaint():
     out2 = pipe(g, steps=3, init_size=(32, 32), key=jax.random.PRNGKey(1))
     np.testing.assert_array_equal(np.asarray(img), np.asarray(out2.images[0]))
 
-    # img2img exercises the row-scaled t_start + σ-row add_noise
+    # img2img exercises the row-scaled t_start + σ-row add_noise. A
+    # preprocessed [-1,1] array keeps the 32×32 canvas (a PIL init would be
+    # preprocess-resized to 512 — reference encode/clip.py:15-39).
     rng = np.random.default_rng(5)
-    init = Image.fromarray(np.uint8(rng.integers(0, 255, (32, 32, 3))))
+    init = rng.uniform(-1, 1, size=(1, 32, 32, 3)).astype(np.float32)
     o_i2i = pipe(g, steps=4, init_image=init, strength=0.5,
                  key=jax.random.PRNGKey(2))
     assert o_i2i.images[0].size == (32, 32)

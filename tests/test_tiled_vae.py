@@ -52,6 +52,27 @@ def test_tiled_apply_upscale_and_downscale_exact():
                                atol=1e-5)
 
 
+def test_tiled_apply_wide_short_canvas():
+    """One spatial dim smaller than the tile while the other exceeds it
+    (e.g. a 448×2048 px canvas → 56×256 latent at tile=64): the per-axis
+    effective tile size must clamp, not crash on a mask-shape mismatch."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 56, 256, 4)), jnp.float32)
+    out = tiled_apply(lambda t: t * 2.0, x, tile=64, overlap=8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2,
+                               rtol=1e-6, atol=1e-6)
+    # Tall-narrow transpose of the same scenario.
+    xt = jnp.transpose(x, (0, 2, 1, 3))
+    outt = tiled_apply(lambda t: t + 1.0, xt, tile=64, overlap=8)
+    np.testing.assert_allclose(np.asarray(outt), np.asarray(xt) + 1,
+                               rtol=1e-6, atol=1e-6)
+    # Upscaling fn on a wide-short canvas (decoder-shaped usage).
+    up = tiled_apply(lambda t: jnp.repeat(jnp.repeat(t, 2, 1), 2, 2), x,
+                     tile=64, overlap=8, out_num=2, out_den=1)
+    full = jnp.repeat(jnp.repeat(x, 2, 1), 2, 2)
+    np.testing.assert_allclose(np.asarray(up), np.asarray(full), atol=1e-5)
+
+
 def test_tiled_apply_pytree_outputs():
     x = jnp.ones((1, 24, 24, 2), jnp.float32)
     mean, logvar = tiled_apply(lambda t: (t * 3.0, t - 1.0), x,
@@ -111,7 +132,6 @@ def test_pipeline_tiled_generation_end_to_end():
     from flexdiffuse_tpu.models import (TINY_TEXT, TINY_UNET, TINY_VAE,
                                         AutoencoderKL, UNet2DCondition)
     from flexdiffuse_tpu.pipeline import FlexPipeline, SimpleGuidance
-    from PIL import Image
 
     k = jax.random.PRNGKey(0)
     unet = UNet2DCondition(TINY_UNET)
@@ -142,9 +162,11 @@ def test_pipeline_tiled_generation_end_to_end():
     assert len(n_tile_calls) > 1
     assert all(s[1] == 8 and s[2] == 8 for s in n_tile_calls)
 
-    # img2img rides the tiled ENCODE path too
-    init = Image.fromarray(np.uint8(np.random.default_rng(3)
-                                    .integers(0, 255, (64, 64, 3))))
+    # img2img rides the tiled ENCODE path too. A preprocessed array keeps
+    # the 64×64 canvas (a PIL init would be preprocess-resized to 512 long
+    # side — reference encode/clip.py:15-39 semantics).
+    init = np.random.default_rng(3).uniform(
+        -1, 1, size=(1, 64, 64, 3)).astype(np.float32)
     out2 = pipe(g, steps=2, init_image=init, strength=0.5,
                 key=jax.random.PRNGKey(2))
     assert out2.images[0].size == (64, 64)
