@@ -280,6 +280,7 @@ def main() -> None:
 
     lcm = _sub('bench_lcm.py', 1200)
     train = _sub('bench_train.py', 1800)
+    deepcache = _sub('bench_deepcache.py', 1200)
 
     print(json.dumps({
         'metric': ('sd1.4 512x512 CFG denoise-loop steps/sec/chip '
@@ -306,6 +307,7 @@ def main() -> None:
         'sdxl': sdxl,
         'lcm_4step': lcm,
         'training': train,
+        'deepcache': deepcache,
     }))
 
 

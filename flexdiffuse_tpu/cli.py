@@ -184,8 +184,8 @@ def cmd_convert(args) -> int:
 
 
 def _apply_pipe_options(runner, args) -> None:
-    """Post-construction pipeline knobs shared by generate/serve: FreeU and
-    tiled VAE (SD1.x runner; the SDXL runner rejects them for now)."""
+    """Post-construction pipeline knobs shared by generate/serve/serve-api:
+    FreeU and tiled VAE (SD1.x runner; the SDXL runner rejects them)."""
     freeu = getattr(args, 'freeu', '')
     if freeu:
         if not hasattr(runner, 'enable_freeu'):
@@ -204,6 +204,12 @@ def _apply_pipe_options(runner, args) -> None:
             raise SystemExit('--vae-tile is not supported for this model '
                              'family yet')
         runner.enable_vae_tiling(tile)
+    dc = getattr(args, 'deepcache', 0)
+    if dc:
+        if not hasattr(runner, 'enable_deepcache'):
+            raise SystemExit('--deepcache is not supported for this model '
+                             'family yet')
+        runner.enable_deepcache(dc)
 
 
 def cmd_generate(args) -> int:
@@ -240,7 +246,10 @@ def cmd_generate(args) -> int:
         long_prompt=getattr(args, 'long_prompt', False),
         weighted=getattr(args, 'weighted', False),
         **({'refine_strength': getattr(args, 'refine_strength', 0.3)}
-           if getattr(args, 'model_family', 'sd1') == 'sdxl' else {}))
+           if getattr(args, 'model_family', 'sd1') == 'sdxl' else
+           {'hires_scale': getattr(args, 'hires_scale', 0.0),
+            'hires_strength': getattr(args, 'hires_strength', 0.55),
+            'hires_steps': getattr(args, 'hires_steps', None)}))
     print(f'{len(imgs)} image(s) written to {runner.output_dir}')
     return 0
 
@@ -378,16 +387,39 @@ def cmd_train(args) -> int:
     return 0
 
 
+def _add_pipe_option_args(p) -> None:
+    """Register the post-construction pipeline knobs (generate/serve/
+    serve-api all consume them via ``_apply_pipe_options``)."""
+    p.add_argument('--freeu', default='',
+                   help="FreeU 'b1,b2,s1,s2' (empty = off; 'on' = the "
+                        "SD1.x defaults 1.5,1.6,0.9,0.2)")
+    p.add_argument('--vae-tile', type=int, default=0,
+                   help='tiled VAE decode/encode in N-latent-unit tiles '
+                        '(64 = 512 px); bounds VAE memory for very large '
+                        'images. 0 = off')
+    p.add_argument('--deepcache', type=int, default=0,
+                   help='DeepCache interval N: full UNet every Nth step, '
+                        'shallow-levels-only + cached deep feature in '
+                        'between (2-3 = published quality/speed sweet '
+                        'spot). 0 = off')
+
+
+def _runner_with_options(args):
+    runner = _runner(args)
+    _apply_pipe_options(runner, args)
+    return runner
+
+
 def cmd_serve(args) -> int:
     from flexdiffuse_tpu.interface.server import launch
-    launch(lambda: _runner(args), lan=args.lan,
+    launch(lambda: _runner_with_options(args), lan=args.lan,
            port=args.port).serve_forever()
     return 0
 
 
 def cmd_serve_api(args) -> int:
     from flexdiffuse_tpu.serving import launch
-    launch(lambda: _runner(args), port=args.port, lan=args.lan,
+    launch(lambda: _runner_with_options(args), port=args.port, lan=args.lan,
            max_batch_rows=args.max_batch, max_wait_ms=args.max_wait_ms,
            fixed_rows=args.deterministic).serve_forever()
     return 0
@@ -430,13 +462,16 @@ def main(argv=None) -> int:
                    help='chunked encoding for >75-token prompts (A1111 '
                         'convention; with --guide, the tween applies to the '
                         'first 77-token window)')
-    p.add_argument('--freeu', default='',
-                   help="FreeU 'b1,b2,s1,s2' (empty = off; 'on' = the "
-                        "SD1.x defaults 1.5,1.6,0.9,0.2)")
-    p.add_argument('--vae-tile', type=int, default=0,
-                   help='tiled VAE decode/encode in N-latent-unit tiles '
-                        '(64 = 512 px); bounds VAE memory for very large '
-                        'images. 0 = off')
+    _add_pipe_option_args(p)
+    p.add_argument('--hires-scale', type=float, default=0.0,
+                   help='two-pass highres fix: latent-upscale the first '
+                        'pass by this factor and refine with img2img '
+                        '(A1111 Latent mode; 0 = off, try 2.0)')
+    p.add_argument('--hires-strength', type=float, default=0.55,
+                   help='refinement strength of the highres pass')
+    p.add_argument('--hires-steps', type=int, default=None,
+                   help='steps for the highres pass (default: same as '
+                        '--steps)')
     p.add_argument('--weighted', action='store_true',
                    help='parse A1111 emphasis syntax — (word:1.3), [word], '
                         'BREAK — in prompt and negative prompt; subsumes '
@@ -546,6 +581,7 @@ def main(argv=None) -> int:
 
     p = sub.add_parser('serve', help='launch the web UI')
     _add_model_args(p)
+    _add_pipe_option_args(p)
     p.add_argument('--lan', action='store_true')
     p.add_argument('--port', type=int, default=7860)
     p.add_argument('--out', default='./outputs')
@@ -554,6 +590,7 @@ def main(argv=None) -> int:
     p = sub.add_parser('serve-api',
                        help='launch the batched JSON serving API')
     _add_model_args(p)
+    _add_pipe_option_args(p)
     p.add_argument('--lan', action='store_true')
     p.add_argument('--port', type=int, default=8000)
     p.add_argument('--max-batch', type=int, default=8,

@@ -101,7 +101,12 @@ def handle_generate(payload: dict) -> dict:
         # SDXL-family only (base->refiner two-stage); forwarded only when a
         # client sends it so SD1.x runners never see the kwarg.
         **({'refine_strength': float(p['refine_strength'])}
-           if 'refine_strength' in p else {}))
+           if 'refine_strength' in p else {}),
+        # Highres fix (SD1.x Runner): forwarded only when enabled so
+        # runners without the kwargs never see them.
+        **({'hires_scale': float(p['hires_scale']),
+            'hires_strength': float(p.get('hires_strength', 0.55))}
+           if float(p.get('hires_scale', 0) or 0) > 1.0 else {}))
     # The reference sandbox shows the batch gallery incl. its grid
     # (interface/sandbox.py:181-185); surface the composite grid too.
     return {'images': [_pil_to_b64(i) for i in imgs],
@@ -183,6 +188,8 @@ table{border-collapse:collapse}td,th{border:1px solid #333;padding:4px}td input{
   <label>Header max<input id="header_max" type="number" step="0.01" value="0"></label>
   <label>Height<input id="height" type="number" step="64" value="512"></label>
   <label>Width<input id="width" type="number" step="64" value="512"></label>
+  <label>Hires scale (0 = off)<input id="hires_scale" type="number" step="0.25" value="0"></label>
+  <label>Hires strength<input id="hires_strength" type="number" step="0.01" value="0.55"></label>
   <label>Mapping priority<select id="guide_mode"><option value="0">Text Order</option>
    <option value="1" selected>Best Fit</option><option value="2">Direct</option></select></label>
   <label>Reuse latents<input id="reuse" type="checkbox" checked></label>
@@ -237,7 +244,8 @@ async function post(url,body,gallery){const g=document.getElementById(gallery);
 async function generate(){const body={};
  for(const k of ['prompt','negative_prompt','guide_text','mapping_concepts','strength','steps','threshold_mult',
   'threshold_floor','samples','linear_start','linear_end','guidance_scale','clustered','seed',
-  'max_guidance','header_max','height','width','guide_mode','reuse','debug'])body[k]=v(k);
+  'max_guidance','header_max','height','width','guide_mode','reuse','debug',
+  'hires_scale','hires_strength'])body[k]=v(k);
  body.init_image=await file64('init_image');body.guide_image=await file64('guide_image');
  body.mask=await file64('mask');
  body.control_image=await file64('control_image');

@@ -87,6 +87,11 @@ class UNetConfig:
     # SDXL's depth-10 1280-ch level is LayerNorm-heavy and runs ~1% faster
     # standard, so its preset raises this to 4096.
     cm_min_seq: int = 1024
+    # DeepCache split point: how many of the shallowest encoder/decoder
+    # levels a cache-using step recomputes (models/unet.py cache_mode).
+    # 1 = recompute only the outermost level; the cached feature is the
+    # hidden state entering decoder level ``num_levels - cache_depth``.
+    cache_depth: int = 1
 
     def depth_at(self, level: int) -> int:
         if isinstance(self.transformer_depth, int):

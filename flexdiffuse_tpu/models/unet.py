@@ -585,6 +585,80 @@ def run_down_mid(cfg: UNetConfig, h: Array, temb: Array, context: Array,
     return h, skips
 
 
+def run_down_shallow(cfg: UNetConfig, h: Array, temb: Array, context: Array,
+                     dtype, norm_dtype, ip_ctx=None, ip_scale=1.0,
+                     channel_major: bool = False, approx_gelu: bool = False,
+                     depth: int = 1):
+    """The first ``depth`` encoder levels only — the skip states a
+    DeepCache shallow step needs (module names match :func:`run_down_mid`
+    so both paths share weights). Level ``depth-1``'s downsample is skipped:
+    its skip is consumed by a decoder level the cache replaces."""
+    skips = [h]
+    for i in range(depth):
+        ch = cfg.block_channels[i]
+        for j in range(cfg.layers_per_block):
+            h = ResnetBlock(ch, cfg.norm_groups, dtype=dtype,
+                            norm_dtype=norm_dtype,
+                            name=f'down_{i}_res_{j}')(h, temb)
+            if cfg.attention_levels[i]:
+                h = Transformer2D(ch, cfg.heads_for(ch), cfg.depth_at(i),
+                                  cfg.norm_groups, dtype=dtype,
+                                  ip_adapter=cfg.ip_adapter,
+                                  channel_major=channel_major,
+                                  approx_gelu=approx_gelu,
+                                  cm_min_seq=cfg.cm_min_seq,
+                                  name=f'down_{i}_attn_{j}')(
+                                      h, context, ip_ctx, ip_scale)
+            skips.append(h)
+        if i < depth - 1:
+            h = Downsample(ch, dtype=dtype,
+                           name=f'down_{i}_downsample')(h)
+            skips.append(h)
+    return skips
+
+
+def run_up(cfg: UNetConfig, h: Array, skips, temb: Array, context: Array,
+           dtype, norm_dtype, ip_ctx=None, ip_scale=1.0,
+           channel_major: bool = False, approx_gelu: bool = False,
+           freeu=None, start_i: int = 0, capture_i=None):
+    """The UNet's decoder path from up level ``start_i``; optionally
+    returns the hidden state entering level ``capture_i`` (i.e. after the
+    preceding level's upsample) — the DeepCache splice point."""
+    num_levels = len(cfg.block_channels)
+    chans = list(reversed(cfg.block_channels))
+    captured = None
+    for i in range(start_i, num_levels):
+        if capture_i is not None and i == capture_i:
+            captured = h
+        ch = chans[i]
+        level = num_levels - 1 - i
+        for j in range(cfg.layers_per_block + 1):
+            skip = skips.pop()
+            if freeu is not None and i < 2:
+                b, s = freeu[i], freeu[2 + i]
+                half = h.shape[-1] // 2
+                h = jnp.concatenate([h[..., :half] * b, h[..., half:]],
+                                    axis=-1)
+                skip = fourier_filter(skip, 1, s)
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = ResnetBlock(ch, cfg.norm_groups, dtype=dtype,
+                            norm_dtype=norm_dtype,
+                            name=f'up_{i}_res_{j}')(h, temb)
+            if cfg.attention_levels[level]:
+                h = Transformer2D(ch, cfg.heads_for(ch),
+                                  cfg.depth_at(level), cfg.norm_groups,
+                                  dtype=dtype,
+                                  ip_adapter=cfg.ip_adapter,
+                                  channel_major=channel_major,
+                                  approx_gelu=approx_gelu,
+                                  cm_min_seq=cfg.cm_min_seq,
+                                  name=f'up_{i}_attn_{j}')(
+                                      h, context, ip_ctx, ip_scale)
+        if i != num_levels - 1:
+            h = Upsample(ch, dtype=dtype, name=f'up_{i}_upsample')(h)
+    return h, captured
+
+
 class UNet2DCondition(nn.Module):
     """``(latents [B,H,W,4], t [B], context [B,T,768]) -> eps [B,H,W,4]``."""
 
@@ -610,68 +684,83 @@ class UNet2DCondition(nn.Module):
     @nn.compact
     def __call__(self, latents: Array, t: Array, context: Array,
                  added_cond=None, control=None, ip_ctx=None,
-                 ip_scale=1.0, timestep_cond=None) -> Array:
+                 ip_scale=1.0, timestep_cond=None, deep_cache=None,
+                 cache_mode: str = 'off'):
         """``added_cond`` (SDXL text_time conditioning): dict with
         ``text_embeds [B, pooled_dim]`` and ``time_ids [B, 6]`` — pooled
         second-encoder embeddings plus size/crop micro-conditioning.
         ``control`` (ControlNet): ``(down_residuals, mid_residual)`` added
         onto the saved skip states and the mid output
         (models/controlnet.py). ``timestep_cond``: LCM guidance embedding
-        ``[B, cfg.time_cond_proj_dim]`` (see guidance_scale_embedding)."""
+        ``[B, cfg.time_cond_proj_dim]`` (see guidance_scale_embedding).
+
+        DeepCache (Ma et al. 2023 — beyond-reference accelerator):
+        ``cache_mode='save'`` runs the full UNet and ALSO returns the
+        hidden state entering the shallowest ``cache_depth`` decoder
+        levels; ``cache_mode='use'`` takes that state as ``deep_cache``,
+        recomputes only the shallow encoder/decoder levels and splices the
+        cache in place of the deep path (mid + deep levels skipped). A
+        'use' call with a cache saved at the same (latents, t) is
+        bit-identical to the full forward — drift comes only from *reusing*
+        a cache across steps."""
         cfg = self.config
         cm = resolve_channel_major(self.channel_major)
         ag = resolve_approx_gelu(self.approx_gelu, self.dtype)
         temb = embed_timestep(cfg, t, added_cond, self.dtype, timestep_cond)
+        num_levels = len(cfg.block_channels)
+        depth = cfg.cache_depth
+        if not 1 <= depth < num_levels:
+            raise ValueError(f'cache_depth {depth} must be in '
+                             f'[1, {num_levels - 1}]')
 
         x = latents.astype(self.dtype)
         h = nn.Conv(cfg.block_channels[0], (3, 3), padding=1, name='conv_in',
                     dtype=self.dtype)(x)
-        h, skips = run_down_mid(cfg, h, temb, context, self.dtype,
-                                self.norm_dtype, ip_ctx, ip_scale,
-                                channel_major=cm, approx_gelu=ag)
-        num_levels = len(cfg.block_channels)
 
-        if control is not None:
-            down_res, mid_res = control
-            if len(down_res) != len(skips):
-                raise ValueError(
-                    f'control provides {len(down_res)} down residuals but '
-                    f'the UNet has {len(skips)} skip states — mismatched '
-                    'ControlNet geometry')
-            skips = [s + r.astype(s.dtype)
-                     for s, r in zip(skips, down_res)]
-            h = h + mid_res.astype(h.dtype)
-
-        for i, ch in enumerate(reversed(cfg.block_channels)):
-            level = num_levels - 1 - i
-            for j in range(cfg.layers_per_block + 1):
-                skip = skips.pop()
-                if self.freeu is not None and i < 2:
-                    b, s = self.freeu[i], self.freeu[2 + i]
-                    half = h.shape[-1] // 2
-                    h = jnp.concatenate([h[..., :half] * b, h[..., half:]],
-                                        axis=-1)
-                    skip = fourier_filter(skip, 1, s)
-                h = jnp.concatenate([h, skip], axis=-1)
-                h = ResnetBlock(ch, cfg.norm_groups, dtype=self.dtype,
-                                norm_dtype=self.norm_dtype,
-                                name=f'up_{i}_res_{j}')(h, temb)
-                if cfg.attention_levels[level]:
-                    h = Transformer2D(ch, cfg.heads_for(ch),
-                                      cfg.depth_at(level), cfg.norm_groups,
-                                      dtype=self.dtype,
-                                      ip_adapter=cfg.ip_adapter,
-                                      channel_major=cm, approx_gelu=ag,
-                                      cm_min_seq=cfg.cm_min_seq,
-                                      name=f'up_{i}_attn_{j}')(
-                                          h, context, ip_ctx, ip_scale)
-            if i != num_levels - 1:
-                h = Upsample(ch, dtype=self.dtype,
-                             name=f'up_{i}_upsample')(h)
+        if cache_mode == 'use':
+            if deep_cache is None:
+                raise ValueError("cache_mode='use' requires deep_cache")
+            skips = run_down_shallow(cfg, h, temb, context, self.dtype,
+                                     self.norm_dtype, ip_ctx, ip_scale,
+                                     channel_major=cm, approx_gelu=ag,
+                                     depth=depth)
+            if control is not None:
+                down_res, _ = control
+                skips = [s + r.astype(s.dtype)
+                         for s, r in zip(skips, down_res)]
+            h, _ = run_up(cfg, deep_cache.astype(self.dtype), skips, temb,
+                          context, self.dtype, self.norm_dtype, ip_ctx,
+                          ip_scale, channel_major=cm, approx_gelu=ag,
+                          freeu=self.freeu, start_i=num_levels - depth)
+            captured = deep_cache
+        else:
+            h, skips = run_down_mid(cfg, h, temb, context, self.dtype,
+                                    self.norm_dtype, ip_ctx, ip_scale,
+                                    channel_major=cm, approx_gelu=ag)
+            if control is not None:
+                down_res, mid_res = control
+                if len(down_res) != len(skips):
+                    raise ValueError(
+                        f'control provides {len(down_res)} down residuals '
+                        f'but the UNet has {len(skips)} skip states — '
+                        'mismatched ControlNet geometry')
+                skips = [s + r.astype(s.dtype)
+                         for s, r in zip(skips, down_res)]
+                h = h + mid_res.astype(h.dtype)
+            h, captured = run_up(cfg, h, skips, temb, context, self.dtype,
+                                 self.norm_dtype, ip_ctx, ip_scale,
+                                 channel_major=cm, approx_gelu=ag,
+                                 freeu=self.freeu,
+                                 capture_i=(num_levels - depth
+                                            if cache_mode == 'save'
+                                            else None))
 
         h = nn.silu(
             nn.GroupNorm(cfg.norm_groups, epsilon=1e-5, name='norm_out',
                          dtype=jnp.float32)(h))
-        return nn.Conv(cfg.out_channels, (3, 3), padding=1, name='conv_out',
-                       dtype=self.dtype)(h.astype(self.dtype)).astype(
-                           jnp.float32)
+        eps = nn.Conv(cfg.out_channels, (3, 3), padding=1, name='conv_out',
+                      dtype=self.dtype)(h.astype(self.dtype)).astype(
+                          jnp.float32)
+        if cache_mode == 'off':
+            return eps
+        return eps, captured

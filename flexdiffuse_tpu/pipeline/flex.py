@@ -87,6 +87,22 @@ def prepare_latent_mask(mask, latent_hw) -> Array:
     return jnp.clip(m, 0.0, 1.0)
 
 
+def upscale_latents(latents: Array, scale: float,
+                    method: str = 'bilinear') -> Array:
+    """Latent-space upscale (the A1111 'Latent' highres-fix mode): resize
+    final latents for a follow-on img2img refinement pass (``FlexPipeline(
+    init_latents=...)``). New latent dims snap down to /8 so the UNet's
+    three 2× downsamples stay even (pixel dims stay /64, matching
+    utils/image.py preprocess)."""
+    if scale <= 1.0:
+        raise ValueError(f'hires scale must be > 1, got {scale}')
+    b, h, w, c = latents.shape
+    nh = max(8, (int(h * scale) // 8) * 8)
+    nw = max(8, (int(w * scale) // 8) * 8)
+    return jax.image.resize(latents.astype(jnp.float32), (b, nh, nw, c),
+                            method=method)
+
+
 class FlexPipeline:
     """Holds models + params and compiles the full generation program.
 
@@ -103,7 +119,8 @@ class FlexPipeline:
                  sp_mesh=None, sp_axis: str = 'seq',
                  sp_min_seq: int = 4096,
                  controlnet=None, controlnet_params=None,
-                 vae_tile: int = 0, vae_tile_overlap: int = 8) -> None:
+                 vae_tile: int = 0, vae_tile_overlap: int = 8,
+                 deepcache: int = 0) -> None:
         """``sp_mesh`` (a :class:`jax.sharding.Mesh`) enables sequence-
         parallel generation: latent rows shard over ``sp_axis``, convs/norms
         partition via GSPMD (halo exchanges/psums inserted by XLA), and
@@ -148,6 +165,14 @@ class FlexPipeline:
         self.vae_tile_overlap = int(vae_tile_overlap)
         if self.vae_tile and self.vae_tile_overlap >= self.vae_tile:
             raise ValueError('vae_tile_overlap must be < vae_tile')
+        # DeepCache (Ma et al. 2023): every `deepcache`-th active row runs
+        # the full UNet and saves the deep feature; rows in between
+        # recompute only the shallow levels around the cached feature
+        # (models/unet.py cache_mode). 0/1 = off/every-row-full (identical
+        # outputs); 2-3 = the published quality/speed sweet spot.
+        self.deepcache = int(deepcache)
+        if self.deepcache < 0:
+            raise ValueError('deepcache interval must be >= 0')
         self.controlnet = controlnet
         self.controlnet_params = cast_for_module(controlnet_params,
                                                  controlnet)
@@ -167,14 +192,19 @@ class FlexPipeline:
             base_unet_apply = unet_apply
 
             def unet_apply(params, lat, t, ctx, added=None, control=None,
-                           ip_ctx=None, ip_scale=1.0, timestep_cond=None):
+                           ip_ctx=None, ip_scale=1.0, timestep_cond=None,
+                           deep_cache=None, cache_mode='off'):
                 lat = jax.lax.with_sharding_constraint(lat, row_sharding)
                 with _attn_mod.sp_context(sp_mesh, sp_axis, sp_min_seq):
                     return base_unet_apply(params, lat, t, ctx, added,
                                            control, ip_ctx, ip_scale,
-                                           timestep_cond)
+                                           timestep_cond,
+                                           deep_cache=deep_cache,
+                                           cache_mode=cache_mode)
 
             self._sp_sharding = row_sharding
+
+        deepcache = self.deepcache
 
         @functools.partial(jax.jit, static_argnames=('debug', 'inpaint'),
                            compiler_options=copts)
@@ -182,7 +212,8 @@ class FlexPipeline:
                     t_start, eta, key, init_latents=None, mask=None,
                     control_cond=None, cn_params=None, cn_scale=1.0,
                     debug=False, inpaint=False):
-            def noise_fn(lat, t, ctx, added=None, ip=None, tcond=None):
+            def _noise(lat, t, ctx, added, ip, tcond, mode='off',
+                       cache_in=None):
                 control = None
                 if control_cond is not None:
                     # ControlNet branch: the control net sees only the noisy
@@ -197,19 +228,71 @@ class FlexPipeline:
                         cn_scale)
                 ip_ctx, ip_scale = ip if ip is not None else (None, 1.0)
                 return unet_apply(unet_params, lat, t, ctx, added, control,
-                                  ip_ctx, ip_scale, tcond)
+                                  ip_ctx, ip_scale, tcond,
+                                  deep_cache=cache_in, cache_mode=mode)
+
+            def noise_fn(lat, t, ctx, added=None, ip=None, tcond=None):
+                return _noise(lat, t, ctx, added, ip, tcond)
+
+            def _pred_save(xin, t, progress):
+                """Full UNet row; also returns the captured deep feature.
+                guidance.noise_pred calls its noise_fn exactly once (both
+                guidance classes), so a trace-time box carries the cache
+                out without touching the guidance API."""
+                box = {}
+
+                def nf(lat, tt, ctx, added=None, ip=None, tcond=None):
+                    eps, box['c'] = _noise(lat, tt, ctx, added, ip, tcond,
+                                           'save')
+                    return eps
+
+                eps = guidance.noise_pred(nf, xin, t, progress)
+                return eps, box['c']
+
+            def _pred_use(xin, t, progress, cache):
+                def nf(lat, tt, ctx, added=None, ip=None, tcond=None):
+                    eps, _ = _noise(lat, tt, ctx, added, ip, tcond, 'use',
+                                    cache)
+                    return eps
+
+                return guidance.noise_pred(nf, xin, t, progress)
+
+            if deepcache >= 2:
+                # Deep-feature carry: zeros until the first active row
+                # (always a 'save' row — the cadence anchors at t_start).
+                c_shape = jax.eval_shape(
+                    lambda lat: _pred_save(
+                        schedulers.scale_model_input(schedule, lat, 0),
+                        schedule.timesteps[0], jnp.float32(0.0))[1],
+                    latents)
+                cache0 = jnp.zeros(c_shape.shape, c_shape.dtype)
 
             def body(carry, i):
-                lat, state, k = carry
+                if deepcache >= 2:
+                    lat, state, k, cache = carry
+                else:
+                    lat, state, k = carry
                 k, sub, k_inp = jax.random.split(k, 3)
 
                 def active(op):
-                    lat, state = op
+                    if deepcache >= 2:
+                        lat, state, cache = op
+                    else:
+                        lat, state = op
                     xin = schedulers.scale_model_input(schedule, lat, i)
                     t = schedule.timesteps[i]
                     span = jnp.maximum(schedule.length - 1 - t_start, 1)
                     progress = (i - t_start).astype(jnp.float32) / span
-                    eps = guidance.noise_pred(noise_fn, xin, t, progress)
+                    if deepcache >= 2:
+                        is_full = ((i - t_start) % deepcache) == 0
+                        eps, cache = jax.lax.cond(
+                            is_full,
+                            lambda c: _pred_save(xin, t, progress),
+                            lambda c: (_pred_use(xin, t, progress, c), c),
+                            cache)
+                    else:
+                        eps = guidance.noise_pred(noise_fn, xin, t,
+                                                  progress)
                     state, new = schedulers.step(schedule, state, eps, i,
                                                  i - t_start, lat, sub, eta)
                     if inpaint:
@@ -222,17 +305,27 @@ class FlexPipeline:
                         anchored = schedulers.anchor_noise(
                             schedule, init_latents, noise, i, i - t_start)
                         new = mask * new + (1.0 - mask) * anchored
+                    if deepcache >= 2:
+                        return new, state, cache
                     return new, state
 
-                lat, state = jax.lax.cond(i >= t_start, active,
-                                          lambda op: op, (lat, state))
+                if deepcache >= 2:
+                    op0 = (lat, state, cache)
+                    lat, state, cache = jax.lax.cond(i >= t_start, active,
+                                                     lambda op: op, op0)
+                    carry_out = (lat, state, k, cache)
+                else:
+                    lat, state = jax.lax.cond(i >= t_start, active,
+                                              lambda op: op, (lat, state))
+                    carry_out = (lat, state, k)
                 ys = lat if debug else jnp.zeros((), jnp.float32)
-                return (lat, state, k), ys
+                return carry_out, ys
 
-            (latents, _, _), all_latents = jax.lax.scan(
-                body, (latents, state0, key),
-                jnp.arange(schedule.length))
-            return latents, all_latents
+            carry0 = ((latents, state0, key, cache0) if deepcache >= 2
+                      else (latents, state0, key))
+            out_carry, all_latents = jax.lax.scan(
+                body, carry0, jnp.arange(schedule.length))
+            return out_carry[0], all_latents
 
         self._sample = _sample
 
@@ -246,19 +339,23 @@ class FlexPipeline:
 
         self._encode = _encode
 
-        @functools.partial(jax.jit, compiler_options=copts)
-        def _decode(vae_params, latents):
+        def _decode_impl(vae_params, latents):
             img = vae_apply(vae_params, latents / latent_scale,
                             method=type(vae).decode)
             return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
 
-        self._decode = _decode
+        # NOTE: _decode_u8 must trace the IMPL, not the jitted _decode —
+        # compiler_options are rejected on nested jits (TPU product bug
+        # caught by on-chip verification in round 4).
+        self._decode = functools.partial(jax.jit,
+                                         compiler_options=copts)(
+                                             _decode_impl)
 
         @functools.partial(jax.jit, compiler_options=copts)
         def _decode_u8(vae_params, latents):
             # Quantize on device for the PIL path: 4× less device→host
             # traffic; same round-half-up as utils.image.to_pil.
-            img = _decode(vae_params, latents)
+            img = _decode_impl(vae_params, latents)
             return (img * 255.0 + 0.5).astype(jnp.uint8)
 
         self._decode_u8 = _decode_u8

@@ -325,10 +325,9 @@ class Runner:
         if self.pipe.unet.freeu is not None:
             self._rebuild_with_unet(self.pipe.unet.clone(freeu=None))
 
-    def _rebuild_with_unet(self, unet) -> None:
+    def _rebuild_with_unet(self, unet, **overrides) -> None:
         """Rebuild the pipeline around a cloned UNet module (same params)."""
-        self.pipe = FlexPipeline(
-            unet, self.pipe.unet_params, self.pipe.vae, self.pipe.vae_params,
+        kw = dict(
             scheduler=self.pipe.scheduler_kind,
             scheduler_config=self.pipe.scheduler_config,
             latent_scale=self.pipe.latent_scale, sp_mesh=self.pipe.sp_mesh,
@@ -336,7 +335,25 @@ class Runner:
             controlnet=self.pipe.controlnet,
             controlnet_params=self.pipe.controlnet_params,
             vae_tile=self.pipe.vae_tile,
-            vae_tile_overlap=self.pipe.vae_tile_overlap)
+            vae_tile_overlap=self.pipe.vae_tile_overlap,
+            deepcache=self.pipe.deepcache)
+        kw.update(overrides)
+        self.pipe = FlexPipeline(unet, self.pipe.unet_params, self.pipe.vae,
+                                 self.pipe.vae_params, **kw)
+
+    # ------------------------------------------------------------------
+    def enable_deepcache(self, interval: int = 2) -> None:
+        """DeepCache (Ma et al. 2023; beyond-reference accelerator): run
+        the full UNet every ``interval``-th denoise step and reuse its deep
+        feature in between, recomputing only the shallow levels. 2-3 is the
+        published quality/speed sweet spot; the pipeline recompiles once."""
+        if int(interval) != self.pipe.deepcache:
+            self._rebuild_with_unet(self.pipe.unet,
+                                    deepcache=int(interval))
+
+    def disable_deepcache(self) -> None:
+        if self.pipe.deepcache:
+            self._rebuild_with_unet(self.pipe.unet, deepcache=0)
 
     # ------------------------------------------------------------------
     def enable_vae_tiling(self, tile: int = 64, overlap: int = 8) -> None:
@@ -411,7 +428,10 @@ class Runner:
              steps: int, debug: bool, fp: str,
              save: bool = True,
              mask=None, control_image=None,
-             controlnet_scale: float = 1.0
+             controlnet_scale: float = 1.0,
+             hires_scale: float = 0.0,
+             hires_strength: float = 0.55,
+             hires_steps: Optional[int] = None
              ) -> Tuple[List[Image.Image], Image.Image]:
         """Multi-batch sweep (reference ``_run`` utils.py:85-112): one
         compiled executable, new PRNG key per batch.
@@ -422,7 +442,15 @@ class Runner:
         denoise on the XLA async queue (the reference's loop is fully
         serial). Debug mode (per-step latent decode, host-side) keeps the
         serial path.
+
+        ``hires_scale > 1`` enables the two-pass highres fix (A1111 'Latent'
+        upscale mode, beyond-reference): pass 1 generates at ``init_size``,
+        the final latents are bilinear-upscaled by ``hires_scale`` and
+        refined by an img2img pass at ``hires_strength`` (inpainting masks
+        apply to pass 1 only — the refinement keeps the composed result).
+        Both passes stay on the XLA async queue, so batches still pipeline.
         """
+        hires = bool(hires_scale) and hires_scale > 1.0
         all_images: List[Image.Image] = []
         if save:
             os.makedirs(self.grid_dir, exist_ok=True)
@@ -430,12 +458,33 @@ class Runner:
         for b in range(batches):
             stime = time.time()
             ms_time = int(stime * 1000)
-            out = self.pipe(guidance, steps=steps, init_image=init_image,
-                            init_size=init_size, strength=strength,
-                            eta=self.eta, key=self._next_key(), debug=debug,
-                            mask=mask, control_image=control_image,
-                            controlnet_scale=controlnet_scale,
-                            output_type='pil' if debug else 'device_u8')
+            if hires:
+                from flexdiffuse_tpu.pipeline.flex import upscale_latents
+                lat = self.pipe(guidance, steps=steps,
+                                init_image=init_image, init_size=init_size,
+                                strength=strength, eta=self.eta,
+                                key=self._next_key(), mask=mask,
+                                control_image=control_image,
+                                controlnet_scale=controlnet_scale,
+                                output_type='latent').images
+                up = upscale_latents(lat, hires_scale)
+                out = self.pipe(guidance, steps=hires_steps or steps,
+                                init_latents=up, strength=hires_strength,
+                                eta=self.eta, key=self._next_key(),
+                                debug=debug, control_image=control_image,
+                                controlnet_scale=controlnet_scale,
+                                output_type='pil' if debug
+                                else 'device_u8')
+            else:
+                out = self.pipe(guidance, steps=steps,
+                                init_image=init_image,
+                                init_size=init_size, strength=strength,
+                                eta=self.eta, key=self._next_key(),
+                                debug=debug, mask=mask,
+                                control_image=control_image,
+                                controlnet_scale=controlnet_scale,
+                                output_type='pil' if debug
+                                else 'device_u8')
             if debug:
                 images = self._finish_batch(b, batches, out.images, stime,
                                             ms_time, fp, save)
@@ -494,7 +543,10 @@ class Runner:
             ip_image: Optional[Image.Image] = None,
             ip_scale: float = 1.0,
             long_prompt: bool = False,
-            weighted: bool = False):
+            weighted: bool = False,
+            hires_scale: float = 0.0,
+            hires_strength: float = 0.55,
+            hires_steps: Optional[int] = None):
         """Guided generation (reference ``Runner.gen`` utils.py:114-166).
 
         ``negative_prompt`` replaces the empty-string unconditional embedding
@@ -519,6 +571,8 @@ class Runner:
                    f'_hm{_i100(guide_header_max)}'
                    f'_im{guide_mode:d}')
         fp += f'_st{steps}_gs{int(guidance_scale)}'
+        if hires_scale and hires_scale > 1.0:
+            fp += f'_hr{_i100(hires_scale)}_hs{_i100(hires_strength)}'
         if seed:
             fp += f'_se{seed}'
 
@@ -585,7 +639,10 @@ class Runner:
             return self._run(samples, guidance, init_image, init_size,
                              strength, steps, debug, fp, save, mask=mask,
                              control_image=control_image,
-                             controlnet_scale=controlnet_scale)
+                             controlnet_scale=controlnet_scale,
+                             hires_scale=hires_scale,
+                             hires_strength=hires_strength,
+                             hires_steps=hires_steps)
 
     # ------------------------------------------------------------------
     def compose(self,

@@ -74,6 +74,27 @@ class SDXLRunner:
         self._key = jax.random.PRNGKey(0)
 
     # ------------------------------------------------------------------
+    def enable_deepcache(self, interval: int = 2) -> None:
+        """DeepCache for the base (and refiner, if loaded): full UNet every
+        ``interval``-th step, shallow-levels-only in between. SDXL's level 0
+        carries no attention, so its shallow step is especially cheap."""
+        iv = int(interval)
+
+        def _with(p):
+            if p is None or p.deepcache == iv:
+                return p
+            return FlexPipeline(p.unet, p.unet_params, p.vae, p.vae_params,
+                                scheduler=p.scheduler_kind,
+                                scheduler_config=p.scheduler_config,
+                                latent_scale=p.latent_scale, deepcache=iv)
+
+        self.pipe = _with(self.pipe)
+        self.refiner_pipe = _with(self.refiner_pipe)
+
+    def disable_deepcache(self) -> None:
+        self.enable_deepcache(0)
+
+    # ------------------------------------------------------------------
     def apply_lora(self, path: str, scale: float = 1.0) -> None:
         """Merge a kohya SDXL LoRA (SGM-named ``lora_unet_*`` +
         ``lora_te1_``/``lora_te2_``) into the loaded weights; repeated
