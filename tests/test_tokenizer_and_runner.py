@@ -298,3 +298,32 @@ def test_runner_gen_weighted_with_guide_tween(tiny_runner):
                               guide='a deer', steps=2, init_size=(32, 32),
                               samples=1, seed=5, save=False)
     assert len(imgs) == 1
+
+
+def test_upscale_latents_shapes_and_snap():
+    from flexdiffuse_tpu.pipeline.flex import upscale_latents
+    lat = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 8, 8, 4)).astype(np.float32))
+    up = upscale_latents(lat, 2.0)
+    assert up.shape == (1, 16, 16, 4)
+    # Non-integral scales snap down to /8 latent dims (pixel dims /64).
+    up15 = upscale_latents(jnp.zeros((1, 64, 64, 4)), 1.5)
+    assert up15.shape == (1, 96, 96, 4)
+    up13 = upscale_latents(jnp.zeros((1, 64, 64, 4)), 1.3)
+    assert up13.shape == (1, 80, 80, 4)
+    with pytest.raises(ValueError):
+        upscale_latents(lat, 1.0)
+
+
+def test_runner_gen_hires_fix(tiny_runner):
+    """Two-pass highres fix: base pass at init_size, latent-upscaled
+    refinement pass -> output at scale x init_size (beyond-reference;
+    A1111 'Latent' mode)."""
+    imgs, _ = tiny_runner.gen(prompt='a deer', steps=2, init_size=(32, 32),
+                              samples=1, seed=9, save=True,
+                              hires_scale=2.0, hires_strength=0.6)
+    assert len(imgs) == 1
+    assert imgs[0].size == (64, 64)
+    # Provenance filename carries the hires parameters.
+    files = os.listdir(tiny_runner.output_dir)
+    assert any('_hr200_hs60' in f for f in files)
