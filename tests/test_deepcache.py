@@ -132,3 +132,22 @@ def test_pipeline_deepcache_img2img():
     out = dc(g, init_image=init, strength=0.5, steps=4,
              key=jax.random.PRNGKey(1))['images']
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_deepcache_dp_sweep_on_mesh():
+    """The cache rides the sharded scan carry: an 8-seed DP sweep with a
+    deepcache pipeline compiles under the mesh and stays finite."""
+    from flexdiffuse_tpu.parallel import make_mesh, seed_sweep_keys
+    from flexdiffuse_tpu.parallel.sweep import sweep
+
+    pipe = _tiny_pipe(deepcache=2)
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.normal(size=(1, 77, 32)).astype(np.float32))
+    unc = jnp.asarray(rng.normal(size=(1, 77, 32)).astype(np.float32))
+    keys = seed_sweep_keys(1337, 8)
+    mesh = make_mesh(model_parallel=1)
+    imgs = sweep(pipe, emb, unc, keys, steps=3, init_size=(32, 32),
+                 mesh=mesh)
+    assert imgs.shape == (8, 32, 32, 3)
+    assert np.isfinite(imgs).all()
+    assert np.abs(imgs[0] - imgs[1]).max() > 1e-6
