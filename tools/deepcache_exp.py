@@ -25,7 +25,7 @@ import numpy as np
 STEPS = 25
 
 
-def build(deepcache: int):
+def build(deepcache: int, batch: int = 1):
     from flexdiffuse_tpu import schedulers
     from flexdiffuse_tpu.models import (SD14_UNET, SD14_VAE, AutoencoderKL,
                                         UNet2DCondition)
@@ -59,12 +59,13 @@ def build(deepcache: int):
     pipe = FlexPipeline(unet, u_params, vae, v_params, scheduler='pndm',
                         deepcache=deepcache)
     rng = np.random.default_rng(0)
-    emb = jnp.asarray(rng.normal(size=(1, 77, 768)).astype(np.float32) * .3)
+    emb = jnp.asarray(
+        rng.normal(size=(batch, 77, 768)).astype(np.float32) * .3)
     unc = jnp.asarray(rng.normal(size=(1, 77, 768)).astype(np.float32) * .3)
     g = SimpleGuidance(embeddings=emb, uncond=unc,
                        guidance_scale=jnp.float32(8.0), cfg=True)
     schedule = pipe.schedule(STEPS)
-    latents = jax.random.normal(jax.random.PRNGKey(7), (1, 64, 64, 4),
+    latents = jax.random.normal(jax.random.PRNGKey(7), (batch, 64, 64, 4),
                                 jnp.float32)
     state0 = schedulers.init_state(schedule, latents.shape, latents.dtype)
 
@@ -78,10 +79,18 @@ def build(deepcache: int):
 
 
 def main():
-    intervals = [int(a) for a in sys.argv[1:]] or [0, 2, 3]
+    batch = 1
+    args = []
+    it = iter(sys.argv[1:])
+    for a in it:
+        if a == '--batch':
+            batch = int(next(it))
+        else:
+            args.append(int(a))
+    intervals = args or [0, 2, 3]
     outs, rates = {}, {}
     for dc in intervals:
-        run, length = build(dc)
+        run, length = build(dc, batch=batch)
         t0 = time.perf_counter()
         out = run()
         print(f'deepcache={dc}: compile+warm {time.perf_counter()-t0:.0f}s',
@@ -92,9 +101,9 @@ def main():
             out = run()
             best = min(best, time.perf_counter() - t0)
         outs[dc], rates[dc] = out, length / best
-        print(f'deepcache={dc}: {length / best:6.2f} steps/s '
+        print(f'deepcache={dc} batch={batch}: {length / best:6.2f} steps/s '
               f'({best / length * 1e3:.2f} ms/step; '
-              f'{60.0 / best:.1f} img/min scan-only)', flush=True)
+              f'{batch * 60.0 / best:.1f} img/min scan-only)', flush=True)
     if 0 in outs:
         scale = np.abs(outs[0]).max()
         for dc in intervals:
