@@ -281,6 +281,7 @@ def main() -> None:
     lcm = _sub('bench_lcm.py', 1200)
     train = _sub('bench_train.py', 1800)
     deepcache = _sub('bench_deepcache.py', 1200)
+    cfg_interval = _sub('cfg_interval_exp.py', 1200)
 
     print(json.dumps({
         'metric': ('sd1.4 512x512 CFG denoise-loop steps/sec/chip '
@@ -308,6 +309,7 @@ def main() -> None:
         'lcm_4step': lcm,
         'training': train,
         'deepcache': deepcache,
+        'cfg_interval': cfg_interval,
     }))
 
 

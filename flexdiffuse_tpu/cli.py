@@ -245,6 +245,8 @@ def cmd_generate(args) -> int:
         ip_image=ip_img, ip_scale=getattr(args, 'ip_scale', 1.0),
         long_prompt=getattr(args, 'long_prompt', False),
         weighted=getattr(args, 'weighted', False),
+        cfg_interval=(tuple(args.cfg_interval)
+                      if getattr(args, 'cfg_interval', None) else None),
         **({'refine_strength': getattr(args, 'refine_strength', 0.3)}
            if getattr(args, 'model_family', 'sd1') == 'sdxl' else
            {'hires_scale': getattr(args, 'hires_scale', 0.0),
@@ -429,6 +431,14 @@ def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO,
                         format='%(asctime)s %(name)s %(message)s')
     parser = argparse.ArgumentParser(prog='flexdiffuse_tpu')
+    parser.add_argument('--compile-cache', default=None, metavar='DIR',
+                        help='persistent XLA compilation-cache directory '
+                             '(default ~/.cache/flexdiffuse_tpu/xla or '
+                             '$FLEXDIFFUSE_COMPILE_CACHE); a warm cache '
+                             'turns the multi-minute first-run compile '
+                             'into a few seconds of deserialization')
+    parser.add_argument('--no-compile-cache', action='store_true',
+                        help='disable the persistent XLA compilation cache')
     sub = parser.add_subparsers(dest='cmd', required=True)
 
     p = sub.add_parser('convert', help='convert HF checkpoints to pytrees')
@@ -476,6 +486,12 @@ def main(argv=None) -> int:
                    help='parse A1111 emphasis syntax — (word:1.3), [word], '
                         'BREAK — in prompt and negative prompt; subsumes '
                         '--long-prompt')
+    p.add_argument('--cfg-interval', type=float, nargs=2, default=None,
+                   metavar=('LO', 'HI'),
+                   help='apply classifier-free guidance only for denoise '
+                        'progress in [LO, HI] (Kynkäänniemi et al. 2024); '
+                        'steps outside run cond-only at ~half cost — '
+                        'try 0.0 0.6')
     p.add_argument('--concepts', default='')
     p.add_argument('--out', default='./outputs')
     p.add_argument('--height', type=int, default=512)
@@ -605,6 +621,10 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_serve_api)
 
     args = parser.parse_args(argv)
+    if not args.no_compile_cache:
+        from flexdiffuse_tpu.utils.compile_cache import \
+            enable_compilation_cache
+        enable_compilation_cache(args.compile_cache)
     return args.fn(args)
 
 

@@ -37,10 +37,18 @@ def main() -> None:
                         metavar='PATH[:S]',
                         help='merge a kohya LoRA (optional :scale, '
                              'repeatable)')
+    parser.add_argument('--compile-cache', default=None, metavar='DIR',
+                        help='persistent XLA compilation-cache directory')
+    parser.add_argument('--no-compile-cache', action='store_true',
+                        help='disable the persistent XLA compilation cache')
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO,
                         format='%(asctime)s %(name)s %(message)s')
+    if not args.no_compile_cache:
+        from flexdiffuse_tpu.utils.compile_cache import \
+            enable_compilation_cache
+        enable_compilation_cache(args.compile_cache)
 
     def make_runner():
         from flexdiffuse_tpu.config import RunConfig

@@ -234,9 +234,9 @@ class FlexPipeline:
             def noise_fn(lat, t, ctx, added=None, ip=None, tcond=None):
                 return _noise(lat, t, ctx, added, ip, tcond)
 
-            def _pred_save(xin, t, progress):
+            def _pred_save(g, xin, t, progress):
                 """Full UNet row; also returns the captured deep feature.
-                guidance.noise_pred calls its noise_fn exactly once (both
+                g.noise_pred calls its noise_fn exactly once (both
                 guidance classes), so a trace-time box carries the cache
                 out without touching the guidance API."""
                 box = {}
@@ -246,23 +246,39 @@ class FlexPipeline:
                                            'save')
                     return eps
 
-                eps = guidance.noise_pred(nf, xin, t, progress)
+                eps = g.noise_pred(nf, xin, t, progress)
                 return eps, box['c']
 
-            def _pred_use(xin, t, progress, cache):
+            def _pred_use(g, xin, t, progress, cache):
                 def nf(lat, tt, ctx, added=None, ip=None, tcond=None):
                     eps, _ = _noise(lat, tt, ctx, added, ip, tcond, 'use',
                                     cache)
                     return eps
 
-                return guidance.noise_pred(nf, xin, t, progress)
+                return g.noise_pred(nf, xin, t, progress)
+
+            # CFG interval (Kynkäänniemi et al. 2024): guidance only for
+            # progress in [cfg_from, cfg_to]; outside, the row runs the
+            # guidance variant with cfg=False — the UNet batch halves (B
+            # instead of 2B), so out-of-interval rows cost ~half. Both
+            # branches compile once; the taken one executes (same
+            # `lax.cond` discipline as DeepCache). Bounds are traced:
+            # re-tuning the interval never recompiles.
+            use_interval = (bool(getattr(guidance, 'cfg_interval', False))
+                            and bool(getattr(guidance, 'cfg', False)))
+            g_cond = guidance.replace(cfg=False) if use_interval else None
+
+            def in_interval(prog):
+                return ((prog >= guidance.cfg_from) &
+                        (prog <= guidance.cfg_to))
 
             if deepcache >= 2:
                 # Deep-feature carry: zeros until the first active row
                 # (always a 'save' row — the cadence anchors at t_start).
                 c_shape = jax.eval_shape(
                     lambda lat: _pred_save(
-                        schedulers.scale_model_input(schedule, lat, 0),
+                        guidance, schedulers.scale_model_input(
+                            schedule, lat, 0),
                         schedule.timesteps[0], jnp.float32(0.0))[1],
                     latents)
                 cache0 = jnp.zeros(c_shape.shape, c_shape.dtype)
@@ -285,11 +301,59 @@ class FlexPipeline:
                     progress = (i - t_start).astype(jnp.float32) / span
                     if deepcache >= 2:
                         is_full = ((i - t_start) % deepcache) == 0
-                        eps, cache = jax.lax.cond(
-                            is_full,
-                            lambda c: _pred_save(xin, t, progress),
-                            lambda c: (_pred_use(xin, t, progress, c), c),
-                            cache)
+                        if use_interval:
+                            # Force a full 'save' on interval transitions:
+                            # the cond-only save tiles its half-batch cache
+                            # into the uncond slots, and this guarantees a
+                            # CFG row never 'use's that tiled stand-in.
+                            prev = (i - 1 - t_start).astype(
+                                jnp.float32) / span
+                            is_full = is_full | (in_interval(progress) !=
+                                                 in_interval(prev))
+
+                        def _save_row(c):
+                            if not use_interval:
+                                return _pred_save(guidance, xin, t,
+                                                  progress)
+
+                            def _cond_save():
+                                eps, cc = _pred_save(g_cond, xin, t,
+                                                     progress)
+                                # Tile the half-batch cache into the uncond
+                                # slots so the carry shape stays [2B, ...].
+                                return eps, jnp.concatenate([cc, cc])
+
+                            return jax.lax.cond(
+                                in_interval(progress),
+                                lambda: _pred_save(guidance, xin, t,
+                                                   progress),
+                                _cond_save)
+
+                        def _use_row(c):
+                            if not use_interval:
+                                return _pred_use(guidance, xin, t,
+                                                 progress, c), c
+                            # Cond rows occupy the second half of the CFG
+                            # cache batch (SimpleGuidance stacks uncond
+                            # first — pipeline/flex.py validates the
+                            # guidance kind for this combination).
+                            eps = jax.lax.cond(
+                                in_interval(progress),
+                                lambda: _pred_use(guidance, xin, t,
+                                                  progress, c),
+                                lambda: _pred_use(g_cond, xin, t, progress,
+                                                  c[c.shape[0] // 2:]))
+                            return eps, c
+
+                        eps, cache = jax.lax.cond(is_full, _save_row,
+                                                  _use_row, cache)
+                    elif use_interval:
+                        eps = jax.lax.cond(
+                            in_interval(progress),
+                            lambda: guidance.noise_pred(noise_fn, xin, t,
+                                                        progress),
+                            lambda: g_cond.noise_pred(noise_fn, xin, t,
+                                                      progress))
                     else:
                         eps = guidance.noise_pred(noise_fn, xin, t,
                                                   progress)
@@ -487,6 +551,14 @@ class FlexPipeline:
             raise ValueError('inpainting (mask=...) requires init_image')
         if init_latents is not None and init_image is not None:
             raise ValueError('pass init_image OR init_latents, not both')
+        if (self.deepcache >= 2 and getattr(guide, 'cfg_interval', False)
+                and hasattr(guide, 'entities')):
+            # The deepcache+interval cache tiling/slicing assumes the
+            # SimpleGuidance batch layout ([uncond; cond] halves);
+            # CompositeGuidance interleaves stack rows per batch item.
+            raise ValueError('cfg_interval composes with deepcache only '
+                             'for SimpleGuidance (composite stacks have no '
+                             'half-batch cache layout)')
         if key is None:
             key = jax.random.PRNGKey(0)
         key, k_enc, k_noise, k_scan = jax.random.split(key, 4)

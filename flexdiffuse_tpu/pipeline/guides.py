@@ -69,6 +69,17 @@ class SimpleGuidance(struct.PyTreeNode):
     # pipeline auto-builds both, pipeline/flex.py).
     timestep_cond: Optional[Array] = None
     cfg: bool = struct.field(pytree_node=False, default=True)
+    # CFG interval (Kynkäänniemi et al. 2024, "Applying Guidance in a
+    # Limited Interval"): when ``cfg_interval`` is True, classifier-free
+    # guidance runs only for denoise progress in [cfg_from, cfg_to]; rows
+    # outside run the UNet on the cond half alone (half the batch — the
+    # speed win) which equals guidance_scale == 1. The bounds are traced
+    # (re-tuning never recompiles); the enable flag is structural. The
+    # branch selection lives in the compiled scan (pipeline/flex.py), not
+    # here — ``noise_pred`` stays single-path.
+    cfg_from: Array = 0.0
+    cfg_to: Array = 1.0
+    cfg_interval: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def batch_size(self) -> int:
@@ -198,6 +209,13 @@ class CompositeGuidance(struct.PyTreeNode):
     uncond_pooled: Optional[Array] = None
     time_ids: Optional[Array] = None
     cfg: bool = struct.field(pytree_node=False, default=True)
+    # CFG interval (see SimpleGuidance): outside [cfg_from, cfg_to] the
+    # uncond row is dropped from the stack (n = 1+E instead of 2+E).
+    # Incompatible with DeepCache (the cached stack rows interleave per
+    # batch item — pipeline/flex.py validates).
+    cfg_from: Array = 0.0
+    cfg_to: Array = 1.0
+    cfg_interval: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def batch_size(self) -> int:

@@ -546,7 +546,8 @@ class Runner:
             weighted: bool = False,
             hires_scale: float = 0.0,
             hires_strength: float = 0.55,
-            hires_steps: Optional[int] = None):
+            hires_steps: Optional[int] = None,
+            cfg_interval: Optional[Tuple[float, float]] = None):
         """Guided generation (reference ``Runner.gen`` utils.py:114-166).
 
         ``negative_prompt`` replaces the empty-string unconditional embedding
@@ -554,7 +555,12 @@ class Runner:
         always uses '' — pipeline/guide.py:30). ``weighted`` parses A1111
         emphasis syntax (``(word:1.3)``, ``[word]``, ``BREAK``) in both the
         prompt and the negative prompt (``text/emphasis.py``); it subsumes
-        ``long_prompt`` (windows chunk the same way)."""
+        ``long_prompt`` (windows chunk the same way).
+
+        ``cfg_interval=(lo, hi)`` applies classifier-free guidance only for
+        denoise progress in [lo, hi] (Kynkäänniemi et al. 2024); outside,
+        steps run cond-only at ~half cost. (0.0, 0.6) is a good default:
+        faster AND typically better FID than full-range CFG."""
         if mask is not None and init_image is not None:
             fp = f'inp_ds{int(strength * 100)}'
         elif init_image is not None:
@@ -571,6 +577,8 @@ class Runner:
                    f'_hm{_i100(guide_header_max)}'
                    f'_im{guide_mode:d}')
         fp += f'_st{steps}_gs{int(guidance_scale)}'
+        if cfg_interval is not None:
+            fp += f'_ci{_i100(cfg_interval[0])}-{_i100(cfg_interval[1])}'
         if hires_scale and hires_scale > 1.0:
             fp += f'_hr{_i100(hires_scale)}_hs{_i100(hires_strength)}'
         if seed:
@@ -629,11 +637,17 @@ class Runner:
                 uncond = jnp.concatenate([uncond, pad], axis=1)
         else:
             uncond = self.encoder.prompt(negative_prompt or '')
+        interval_kw = {}
+        if cfg_interval is not None:
+            interval_kw = dict(cfg_interval=True,
+                               cfg_from=jnp.float32(cfg_interval[0]),
+                               cfg_to=jnp.float32(cfg_interval[1]))
         guidance = SimpleGuidance(
             embeddings=embeds,
             uncond=uncond,
             guidance_scale=jnp.float32(guidance_scale),
             cfg=guidance_scale > 1.0,
+            **interval_kw,
             **self._ip_fields(ip_embed, ip_image, ip_scale))
         with self.timer.phase('generate'):
             return self._run(samples, guidance, init_image, init_size,

@@ -192,6 +192,7 @@ class SDXLRunner:
             ip_image: Optional[Image.Image] = None,
             ip_embed=None,
             ip_scale: float = 1.0,
+            cfg_interval: Optional[Tuple[float, float]] = None,
             **ui_kwargs):
         """SDXL generation with optional FlexDiffuse image guidance.
 
@@ -220,6 +221,15 @@ class SDXLRunner:
         self._set_seed(seed)
         g = sdxl_guidance(self.text, prompt, negative_prompt,
                           guidance_scale, size=init_size)
+        if cfg_interval is not None:
+            # CFG interval (Kynkäänniemi et al. 2024): out-of-interval rows
+            # run cond-only at half batch — at 1024² that halves most of
+            # the step cost outside [lo, hi]. Bounds are traced (re-tuning
+            # never recompiles). The refiner stage keeps full CFG: its short
+            # low-noise tail is exactly where guidance does its work.
+            g = g.replace(cfg_interval=True,
+                          cfg_from=jnp.float32(cfg_interval[0]),
+                          cfg_to=jnp.float32(cfg_interval[1]))
         if isinstance(guide, str) and not guide.strip():
             guide = None
         if guide is not None:
@@ -255,6 +265,9 @@ class SDXLRunner:
 
         fp = (f'{"xli2i" if init_image is not None else "xlt2i"}'
               f'_st{steps}_gs{int(guidance_scale)}')
+        if cfg_interval is not None:
+            fp += (f'_ci{int(cfg_interval[0] * 100)}'
+                   f'-{int(cfg_interval[1] * 100)}')
         if refine:
             fp += f'_ref{int(refine_strength * 100)}'
         if seed:

@@ -135,6 +135,29 @@ def test_sdxl_runner_ui_kwarg_surface(xl_runner):
         np.asarray(plain[0], np.int16)).max() > 0
 
 
+def test_sdxl_cfg_interval(xl_runner):
+    """cfg_interval plumbing on the SDXL runner: the interval reaches the
+    compiled scan (latents change vs full-range CFG — the tiny snapshot's
+    0.02-std weights make uncond≈cond, so compare at latent precision, not
+    u8), and the runner path runs and tags the provenance filename."""
+    from flexdiffuse_tpu.models.sdxl import sdxl_guidance
+    g = sdxl_guidance(xl_runner.text, 'a deer', '', 5.0, size=(64, 64))
+    gi = g.replace(cfg_interval=True, cfg_from=jnp.float32(0.0),
+                   cfg_to=jnp.float32(0.4))
+    kw = dict(steps=4, init_size=(64, 64), key=jax.random.PRNGKey(3),
+              output_type='latent')
+    la = np.asarray(xl_runner.pipe(g, **kw)['images'])
+    lb = np.asarray(xl_runner.pipe(gi, **kw)['images'])
+    assert np.isfinite(lb).all()
+    assert not np.array_equal(la, lb)
+
+    imgs, _ = xl_runner.gen(prompt='a deer', steps=4, init_size=(64, 64),
+                            samples=1, seed=3, cfg_interval=(0.0, 0.4))
+    assert len(imgs) == 1
+    files = os.listdir(xl_runner.output_dir)
+    assert any('_ci0-40' in f for f in files)
+
+
 @pytest.mark.parametrize('kw', ['mask', 'control_image',
                                 'mapping_concepts', 'long_prompt'])
 def test_sdxl_unsupported_features_raise(xl_runner, kw):

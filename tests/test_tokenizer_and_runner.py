@@ -114,6 +114,16 @@ def test_runner_gen_guided_by_text(tiny_runner):
     assert len(imgs) == 1
 
 
+def test_runner_gen_cfg_interval(tiny_runner):
+    """CFG-interval plumbing: gen() threads (lo, hi) into the guidance and
+    the provenance filename carries the _ciLO-HI tag."""
+    imgs, _ = tiny_runner.gen(prompt='a deer', steps=3, init_size=(64, 64),
+                              samples=1, seed=21, cfg_interval=(0.0, 0.6))
+    assert len(imgs) == 1
+    files = os.listdir(tiny_runner.output_dir)
+    assert any('_ci0-60' in f and '_se21' in f for f in files)
+
+
 def test_runner_seed_reproducibility(tiny_runner):
     a, _ = tiny_runner.gen(prompt='x', steps=3, init_size=(64, 64),
                            samples=1, seed=7, save=False)

@@ -12,6 +12,9 @@ import time
 
 sys.path.insert(0, '/root/repo')
 
+from flexdiffuse_tpu.utils.compile_cache import enable_compilation_cache
+enable_compilation_cache('/root/repo/.jax_cache')  # shared bench-tool cache
+
 import jax
 import jax.numpy as jnp
 import numpy as np

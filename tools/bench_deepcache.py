@@ -11,7 +11,43 @@ import time
 
 sys.path.insert(0, '/root/repo')
 
+from flexdiffuse_tpu.utils.compile_cache import enable_compilation_cache
+enable_compilation_cache('/root/repo/.jax_cache')  # shared bench-tool cache
+
 import numpy as np
+
+
+def serving_batch(interval: int = 3, batch: int = 4, rounds: int = 3) -> dict:
+    """Batch-N serving throughput with DeepCache: overlapped scan + device-u8
+    VAE decode rounds (the bench.py _serving_batch4 discipline), deepcached.
+    The exact scan bounds batch-4 at ~150 img/min scan-only; the cached
+    shallow steps break past that device ceiling."""
+    import time
+
+    from tools.deepcache_exp import STEPS, build_parts
+
+    parts = build_parts(interval, batch=batch)
+    pipe, sample = parts['pipe'], parts['sample']
+
+    def round_out():
+        return pipe.decode_u8_device(sample())
+
+    _ = np.asarray(round_out())  # compile scan + decode
+
+    t0 = time.perf_counter()
+    pending = [round_out() for _ in range(rounds)]  # all rounds queued
+    for p in pending:
+        _ = np.asarray(p)
+    overlapped = time.perf_counter() - t0
+
+    per_image_factor = (STEPS + 1) / STEPS  # 25-step gen ≈ 26 scan steps
+    imgs = batch * rounds
+    return {
+        'interval': interval,
+        'batch': batch,
+        'images_per_min': round(
+            60.0 * imgs / (overlapped * per_image_factor), 1),
+    }
 
 
 def main():
@@ -44,6 +80,10 @@ def main():
         'latent_mse_vs_exact': drift,
         'finite': bool(np.isfinite(dc_lat).all()),
     })
+    try:
+        out['serving_batch4'] = serving_batch()
+    except Exception as e:  # never jeopardize the primary numbers
+        out['serving_batch4'] = {'error': str(e)[:200]}
     if emit_json:
         print(json.dumps(out))
     else:

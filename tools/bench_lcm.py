@@ -15,6 +15,9 @@ import sys
 import time
 
 sys.path.insert(0, '/root/repo')
+
+from flexdiffuse_tpu.utils.compile_cache import enable_compilation_cache
+enable_compilation_cache('/root/repo/.jax_cache')  # shared bench-tool cache
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/repo/.jax_cache')
 
 import jax

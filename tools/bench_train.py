@@ -22,6 +22,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flexdiffuse_tpu.utils.compile_cache import enable_compilation_cache
+enable_compilation_cache('/root/repo/.jax_cache')  # shared bench-tool cache
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
                       os.path.join(os.path.dirname(
                           os.path.dirname(os.path.abspath(__file__))),

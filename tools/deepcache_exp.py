@@ -18,6 +18,9 @@ import time
 
 sys.path.insert(0, '/root/repo')
 
+from flexdiffuse_tpu.utils.compile_cache import enable_compilation_cache
+enable_compilation_cache('/root/repo/.jax_cache')  # shared bench-tool cache
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,7 +28,7 @@ import numpy as np
 STEPS = 25
 
 
-def build(deepcache: int, batch: int = 1):
+def build_parts(deepcache: int, batch: int = 1):
     from flexdiffuse_tpu import schedulers
     from flexdiffuse_tpu.models import (SD14_UNET, SD14_VAE, AutoencoderKL,
                                         UNet2DCondition)
@@ -69,13 +72,24 @@ def build(deepcache: int, batch: int = 1):
                                 jnp.float32)
     state0 = schedulers.init_state(schedule, latents.shape, latents.dtype)
 
-    def run():
+    def sample():
+        """Dispatch the scan; returns device latents WITHOUT a host fetch
+        (serving overlap needs the decode queued behind it)."""
         out, _ = pipe._sample(pipe.unet_params, schedule, state0, g,
                               latents, jnp.int32(0), jnp.float32(0.0),
                               jax.random.PRNGKey(3))
-        return np.asarray(out)
+        return out
 
-    return run, schedule.length
+    return {'pipe': pipe, 'sample': sample, 'length': schedule.length}
+
+
+def build(deepcache: int, batch: int = 1):
+    parts = build_parts(deepcache, batch=batch)
+
+    def run():
+        return np.asarray(parts['sample']())
+
+    return run, parts['length']
 
 
 def main():
