@@ -32,6 +32,23 @@ Array = jax.Array
 NoiseFn = Callable[..., Array]
 
 
+
+def rescale_cfg(eps_cfg: Array, eps_cond: Array, phi: Array) -> Array:
+    """CFG rescale (Lin et al. 2023, "Common Diffusion Noise Schedules and
+    Sample Steps are Flawed" §3.4): CFG inflates the noise prediction's
+    scale, washing out images (worst for zero-SNR v-pred checkpoints);
+    rescale it toward the cond prediction's per-sample std and lerp by
+    ``phi``. Traced ``phi`` — re-tuning never recompiles; ``phi=0`` returns
+    ``eps_cfg`` bit-exactly (0·x + 1·eps), keeping the program single-path.
+    """
+    axes = tuple(range(1, eps_cfg.ndim))
+    std_c = jnp.std(eps_cond, axis=axes, keepdims=True)
+    std_g = jnp.std(eps_cfg, axis=axes, keepdims=True)
+    rescaled = eps_cfg * (std_c / (std_g + 1e-8))
+    phi = jnp.asarray(phi, eps_cfg.dtype)
+    return phi * rescaled + (1.0 - phi) * eps_cfg
+
+
 class SimpleGuidance(struct.PyTreeNode):
     """CFG conditioning: uncond + per-sample cond embeddings.
 
@@ -80,6 +97,8 @@ class SimpleGuidance(struct.PyTreeNode):
     cfg_from: Array = 0.0
     cfg_to: Array = 1.0
     cfg_interval: bool = struct.field(pytree_node=False, default=False)
+    # CFG rescale phi (Lin et al. 2023, see rescale_cfg); traced, 0 = off.
+    guidance_rescale: Array = 0.0
 
     @property
     def batch_size(self) -> int:
@@ -148,7 +167,8 @@ class SimpleGuidance(struct.PyTreeNode):
                        self._added(2 * b, True), self._ip(b, True),
                        self._tcond(2 * b))
         eps_u, eps_c = jnp.split(eps, 2)
-        return eps_u + self.guidance_scale * (eps_c - eps_u)
+        out = eps_u + self.guidance_scale * (eps_c - eps_u)
+        return rescale_cfg(out, eps_c, self.guidance_rescale)
 
 
 def prompt_guidance(encoder, prompt, guidance_scale: float) -> SimpleGuidance:
@@ -216,6 +236,8 @@ class CompositeGuidance(struct.PyTreeNode):
     cfg_from: Array = 0.0
     cfg_to: Array = 1.0
     cfg_interval: bool = struct.field(pytree_node=False, default=False)
+    # CFG rescale phi (Lin et al. 2023, see rescale_cfg); traced, 0 = off.
+    guidance_rescale: Array = 0.0
 
     @property
     def batch_size(self) -> int:
@@ -271,5 +293,7 @@ class CompositeGuidance(struct.PyTreeNode):
             bg = bg + m * self.blends[i] * (ent - bg)
         if self.cfg:
             uncond = eps[:, 0]
+            cond = bg
             bg = uncond + self.guidance_scale * (bg - uncond)
+            bg = rescale_cfg(bg, cond, self.guidance_rescale)
         return bg

@@ -57,17 +57,69 @@ class SchedulerConfig:
     # boundary-condition timestep scaling (diffusers LCMScheduler defaults).
     original_inference_steps: int = 50
     timestep_scaling: float = 10.0
+    # Timestep spacing: 'leading' (SD default — first step at
+    # ~T·(1-1/steps)+offset) or 'trailing' (first step at T-1 — required
+    # for zero-SNR checkpoints to actually start from pure noise; diffusers
+    # semantics). ddim/ddpm honor it; others are leading-spaced by design.
+    timestep_spacing: str = 'leading'
+    # Zero terminal SNR (Lin et al. 2023): rescale the betas so
+    # alphas_cumprod[-1] == 0 — the last train step is pure noise, fixing
+    # the train/inference mismatch for checkpoints trained this way
+    # (pairs with prediction_type='v_prediction'; epsilon prediction is
+    # undefined at zero SNR).
+    rescale_betas_zero_snr: bool = False
+
+
+def rescale_zero_terminal_snr(betas: np.ndarray) -> np.ndarray:
+    """Shift-and-scale ``sqrt(alphas_cumprod)`` so the terminal SNR is
+    exactly zero while the initial value is preserved (Lin et al. 2023
+    algorithm 1; mirrors diffusers' ``rescale_zero_terminal_snr``)."""
+    abar_sqrt = np.sqrt(np.cumprod(1.0 - betas, axis=0))
+    a0, aT = abar_sqrt[0], abar_sqrt[-1]
+    abar_sqrt = (abar_sqrt - aT) * (a0 / (a0 - aT))
+    abar = abar_sqrt**2
+    # Floor the terminal alpha-bar at a tiny positive value instead of an
+    # exact 0: the samplers recover x0 through the shared ε interface as
+    # ``(x − √(1−ᾱ)·ε)/√ᾱ``, which is 0/0 at ᾱ=0 but exact in fp32 for any
+    # tiny ᾱ (√(1−ᾱ) rounds to 1, the subtraction cancels the x term, and
+    # the √ᾱ factors divide out — the limit −v is produced bit-cleanly).
+    abar[-1] = max(abar[-1], 1e-12)
+    alphas = np.concatenate([abar[:1], abar[1:] / abar[:-1]])
+    return 1.0 - alphas
+
+
+def spaced_timesteps(config: SchedulerConfig, steps: int,
+                     offset: int = 0) -> np.ndarray:
+    """Descending inference timesteps under ``config.timestep_spacing``.
+
+    'leading': ``(arange(steps)·ratio)[::-1] + offset`` (SD's historical
+    spacing — never reaches T-1). 'trailing': ``round(arange(T, 0,
+    -T/steps)) - 1`` — the last train step IS the first inference step,
+    which zero-SNR checkpoints need to see pure noise.
+    """
+    n = config.num_train_timesteps
+    if config.timestep_spacing == 'leading':
+        ratio = n // steps
+        return (np.arange(steps) * ratio)[::-1].copy() + offset
+    if config.timestep_spacing == 'trailing':
+        return np.round(np.arange(n, 0, -n / steps)).astype(np.int64) - 1
+    raise ValueError(
+        f'unknown timestep_spacing {config.timestep_spacing!r}')
 
 
 def make_betas(config: SchedulerConfig) -> np.ndarray:
     n = config.num_train_timesteps
     if config.beta_schedule == 'scaled_linear':
-        return np.linspace(config.beta_start**0.5, config.beta_end**0.5, n,
-                           dtype=np.float64)**2
-    if config.beta_schedule == 'linear':
-        return np.linspace(config.beta_start, config.beta_end, n,
-                           dtype=np.float64)
-    raise ValueError(f'unknown beta schedule {config.beta_schedule!r}')
+        betas = np.linspace(config.beta_start**0.5, config.beta_end**0.5, n,
+                            dtype=np.float64)**2
+    elif config.beta_schedule == 'linear':
+        betas = np.linspace(config.beta_start, config.beta_end, n,
+                            dtype=np.float64)
+    else:
+        raise ValueError(f'unknown beta schedule {config.beta_schedule!r}')
+    if config.rescale_betas_zero_snr:
+        betas = rescale_zero_terminal_snr(betas)
+    return betas
 
 
 def alphas_cumprod(config: SchedulerConfig) -> np.ndarray:

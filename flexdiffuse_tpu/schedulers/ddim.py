@@ -12,14 +12,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from flexdiffuse_tpu.schedulers.base import Schedule, SchedulerConfig, \
-    alphas_cumprod
+    alphas_cumprod, spaced_timesteps
 
 Array = jax.Array
 
 
 def make_schedule(config: SchedulerConfig, steps: int) -> Schedule:
     ratio = config.num_train_timesteps // steps
-    ts = (np.arange(steps) * ratio)[::-1].copy() + config.steps_offset
+    ts = spaced_timesteps(config, steps, config.steps_offset)
     acp = alphas_cumprod(config)
     final = 1.0 if config.set_alpha_to_one else float(acp[0])
     return Schedule(

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from flexdiffuse_tpu.schedulers.base import Schedule, SchedulerConfig, \
-    alphas_cumprod
+    alphas_cumprod, spaced_timesteps
 
 Array = jax.Array
 
@@ -35,7 +35,7 @@ def make_schedule(config: SchedulerConfig, steps: int) -> Schedule:
     ratio = n // steps
     # diffusers DDPMScheduler spacing: leading multiples of the ratio,
     # descending, no steps_offset.
-    ts = (np.arange(steps) * ratio)[::-1].copy()
+    ts = spaced_timesteps(config, steps)
     acp = alphas_cumprod(config)
     return Schedule(
         kind='ddpm',
