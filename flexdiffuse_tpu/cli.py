@@ -32,6 +32,16 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument('--v-prediction', action='store_true',
                    help='v-parameterized model (use with --model-family sd2 '
                         'for SD2.1 768-v checkpoints)')
+    p.add_argument('--zero-snr', action='store_true',
+                   help='zero-terminal-SNR beta rescale (Lin et al. 2023) '
+                        'for checkpoints trained with it; pair with '
+                        '--v-prediction and consider --guidance-rescale 0.7')
+    p.add_argument('--timestep-spacing', default=None,
+                   choices=('leading', 'trailing'),
+                   help="'trailing' starts inference at the last train "
+                        'step (needed with --zero-snr to actually see pure '
+                        'noise); default leading (SD historical spacing). '
+                        'ddim/ddpm only')
     p.add_argument('--model-family', default='sd1',
                    choices=('sd1', 'sd2', 'sdxl'),
                    help='checkpoint geometry: sd1 = SD1.x + CLIP ViT-L/14, '
@@ -103,11 +113,16 @@ def _runner(args):
     if getattr(args, 'model_family', 'sd1') == 'sdxl':
         return _sdxl_runner(args)
     scheduler_config = None
-    if getattr(args, 'karras', False) or getattr(args, 'v_prediction', False):
+    if (getattr(args, 'karras', False) or getattr(args, 'v_prediction', False)
+            or getattr(args, 'zero_snr', False)
+            or getattr(args, 'timestep_spacing', None)):
         from flexdiffuse_tpu.schedulers import SchedulerConfig
         scheduler_config = SchedulerConfig(
             kind=args.scheduler,
             use_karras_sigmas=getattr(args, 'karras', False),
+            rescale_betas_zero_snr=getattr(args, 'zero_snr', False),
+            timestep_spacing=(getattr(args, 'timestep_spacing', None)
+                              or 'leading'),
             prediction_type=('v_prediction'
                              if getattr(args, 'v_prediction', False) else
                              'epsilon'))
@@ -210,6 +225,16 @@ def _apply_pipe_options(runner, args) -> None:
             raise SystemExit('--deepcache is not supported for this model '
                              'family yet')
         runner.enable_deepcache(dc)
+    tome = getattr(args, 'tome', '')
+    if tome:
+        if not hasattr(runner, 'enable_tome'):
+            raise SystemExit('--tome is not supported for this model '
+                             'family yet')
+        vals = tome.split(',')
+        if len(vals) not in (1, 2):
+            raise SystemExit("--tome expects 'RATIO' or 'RATIO,MIN_SEQ'")
+        runner.enable_tome(float(vals[0]),
+                           *([int(vals[1])] if len(vals) == 2 else []))
 
 
 def cmd_generate(args) -> int:
@@ -247,6 +272,7 @@ def cmd_generate(args) -> int:
         weighted=getattr(args, 'weighted', False),
         cfg_interval=(tuple(args.cfg_interval)
                       if getattr(args, 'cfg_interval', None) else None),
+        guidance_rescale=getattr(args, 'guidance_rescale', 0.0),
         **({'refine_strength': getattr(args, 'refine_strength', 0.3)}
            if getattr(args, 'model_family', 'sd1') == 'sdxl' else
            {'hires_scale': getattr(args, 'hires_scale', 0.0),
@@ -404,6 +430,13 @@ def _add_pipe_option_args(p) -> None:
                         'shallow-levels-only + cached deep feature in '
                         'between (2-3 = published quality/speed sweet '
                         'spot). 0 = off')
+    p.add_argument('--tome', default='',
+                   help="ToMe token merging 'RATIO' or 'RATIO,MIN_SEQ': "
+                        'merge RATIO of the spatial tokens before every '
+                        'self-attention on grids of >= MIN_SEQ tokens '
+                        '(default 4096 = only the attention-bound big '
+                        'levels). 0.5 is the published sweet spot; '
+                        'empty = off')
 
 
 def _runner_with_options(args):
@@ -492,6 +525,12 @@ def main(argv=None) -> int:
                         'progress in [LO, HI] (Kynkäänniemi et al. 2024); '
                         'steps outside run cond-only at ~half cost — '
                         'try 0.0 0.6')
+    p.add_argument('--guidance-rescale', type=float, default=0.0,
+                   help='CFG rescale phi (Lin et al. 2023): pull the CFG '
+                        'noise prediction back toward the cond '
+                        "prediction's std — fixes washed-out images, "
+                        'especially zero-SNR v-pred checkpoints (0.7 '
+                        'recommended there). 0 = off')
     p.add_argument('--concepts', default='')
     p.add_argument('--out', default='./outputs')
     p.add_argument('--height', type=int, default=512)

@@ -341,16 +341,33 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array, context: Array,
                  ip_ctx: Optional[Array] = None,
-                 ip_scale: Array = 1.0, batch: int = 1) -> Array:
+                 ip_scale: Array = 1.0, batch: int = 1,
+                 tome_plan=None) -> Array:
         cm = self.channel_major
         if cm:
             ln = lambda name: _ln_cm(name, self.dtype)
         else:
             ln = lambda name: nn.LayerNorm(epsilon=1e-5, name=name,
                                            dtype=self.dtype)
-        x = x + CrossAttention(self.dim, self.num_heads, name='attn1',
-                               dtype=self.dtype, channel_major=cm)(
-                                   ln('norm1')(x), None, batch=batch)
+        attn1 = CrossAttention(self.dim, self.num_heads, name='attn1',
+                               dtype=self.dtype, channel_major=cm)
+        if tome_plan is None:
+            x = x + attn1(ln('norm1')(x), None, batch=batch)
+        else:
+            # ToMe (ops/tome.py): self-attention runs on the merged token
+            # set and the output is copied back — O((S−r)²) instead of
+            # O(S²). Cross-attn and the MLP stay full-length (the tomesd
+            # default; merging them trades quality for little win).
+            from flexdiffuse_tpu.ops import tome as _tome
+            xa = ln('norm1')(x)
+            if cm:
+                xa = _tome.merge_cm(xa, tome_plan, batch)
+                x = x + _tome.unmerge_cm(attn1(xa, None, batch=batch),
+                                         tome_plan, batch)
+            else:
+                xa = _tome.merge(xa, tome_plan)
+                x = x + _tome.unmerge(attn1(xa, None, batch=batch),
+                                      tome_plan)
         x = x + CrossAttention(self.dim, self.num_heads, name='attn2',
                                dtype=self.dtype, channel_major=cm,
                                ip_adapter=self.ip_adapter)(
@@ -377,6 +394,24 @@ class Transformer2D(nn.Module):
     channel_major: bool = False
     approx_gelu: bool = False
     cm_min_seq: int = CM_MIN_SEQ
+    # ToMe (ops/tome.py): ``(ratio, min_seq)`` — merge ``ratio`` of the
+    # spatial tokens before every self-attention when the grid has at
+    # least ``min_seq`` tokens (i.e. only the big, attention-bound
+    # levels). None = off. Static, like ``freeu``: toggling recompiles.
+    tome: Optional[tuple] = None
+
+    def _tome_plan(self, metric: Array, hh: int, ww: int):
+        """Merge plan from the post-proj_in hidden state (shared by all
+        ``depth`` blocks — one matching matmul per transformer; tomesd
+        rebuilds per block only because it's a monkey-patch)."""
+        from flexdiffuse_tpu.ops import tome as _tome
+        ratio, min_seq = self.tome
+        if hh * ww < max(int(min_seq), 2):
+            return None
+        r = _tome.resolve_r(hh, ww, float(ratio))
+        if r <= 0:
+            return None
+        return _tome.merge_plan(metric, (hh, ww), r)
 
     @nn.compact
     def __call__(self, x: Array, context: Array,
@@ -389,6 +424,10 @@ class Transformer2D(nn.Module):
         if self.channel_major and hh * ww >= _cm_threshold(self.cm_min_seq):
             h = Conv1x1CM(self.channels, to_cm=True, name='proj_in',
                           dtype=self.dtype)(h.reshape(b * hh * ww, c))
+            plan = None
+            if self.tome is not None:
+                from flexdiffuse_tpu.ops import tome as _tome
+                plan = self._tome_plan(_tome.metric_from_cm(h, b), hh, ww)
             for i in range(self.depth):
                 h = BasicTransformerBlock(self.channels, self.num_heads,
                                           name=f'blocks_{i}',
@@ -397,20 +436,22 @@ class Transformer2D(nn.Module):
                                           approx_gelu=self.approx_gelu,
                                           ip_adapter=self.ip_adapter)(
                                               h, context, ip_ctx, ip_scale,
-                                              batch=b)
+                                              batch=b, tome_plan=plan)
             h = Conv1x1CM(self.channels, to_cm=False, name='proj_out',
                           dtype=self.dtype)(h)
             return h.reshape(b, hh, ww, c) + residual
         h = nn.Conv(self.channels, (1, 1), name='proj_in',
                     dtype=self.dtype)(h)
         h = h.reshape(b, hh * ww, c)
+        plan = self._tome_plan(h, hh, ww) if self.tome is not None else None
         for i in range(self.depth):
             h = BasicTransformerBlock(self.channels, self.num_heads,
                                       name=f'blocks_{i}',
                                       dtype=self.dtype,
                                       approx_gelu=self.approx_gelu,
                                       ip_adapter=self.ip_adapter)(
-                                          h, context, ip_ctx, ip_scale)
+                                          h, context, ip_ctx, ip_scale,
+                                          tome_plan=plan)
         h = h.reshape(b, hh, ww, c)
         h = nn.Conv(self.channels, (1, 1), name='proj_out',
                     dtype=self.dtype)(h)
@@ -542,7 +583,8 @@ def resolve_approx_gelu(flag, dtype) -> bool:
 
 def run_down_mid(cfg: UNetConfig, h: Array, temb: Array, context: Array,
                  dtype, norm_dtype, ip_ctx=None, ip_scale=1.0,
-                 channel_major: bool = False, approx_gelu: bool = False):
+                 channel_major: bool = False, approx_gelu: bool = False,
+                 tome=None):
     """The UNet's down + mid path; returns ``(h_mid, skip_states)``.
 
     Shared verbatim (blocks AND names) between :class:`UNet2DCondition` and
@@ -562,7 +604,7 @@ def run_down_mid(cfg: UNetConfig, h: Array, temb: Array, context: Array,
                                   ip_adapter=cfg.ip_adapter,
                                   channel_major=channel_major,
                                   approx_gelu=approx_gelu,
-                                  cm_min_seq=cfg.cm_min_seq,
+                                  cm_min_seq=cfg.cm_min_seq, tome=tome,
                                   name=f'down_{i}_attn_{j}')(
                                       h, context, ip_ctx, ip_scale)
             skips.append(h)
@@ -578,7 +620,7 @@ def run_down_mid(cfg: UNetConfig, h: Array, temb: Array, context: Array,
                       cfg.depth_mid(), cfg.norm_groups,
                       dtype=dtype, ip_adapter=cfg.ip_adapter,
                       channel_major=channel_major, approx_gelu=approx_gelu,
-                      cm_min_seq=cfg.cm_min_seq,
+                      cm_min_seq=cfg.cm_min_seq, tome=tome,
                       name='mid_attn')(h, context, ip_ctx, ip_scale)
     h = ResnetBlock(mid_ch, cfg.norm_groups, dtype=dtype,
                     norm_dtype=norm_dtype, name='mid_res_1')(h, temb)
@@ -588,7 +630,7 @@ def run_down_mid(cfg: UNetConfig, h: Array, temb: Array, context: Array,
 def run_down_shallow(cfg: UNetConfig, h: Array, temb: Array, context: Array,
                      dtype, norm_dtype, ip_ctx=None, ip_scale=1.0,
                      channel_major: bool = False, approx_gelu: bool = False,
-                     depth: int = 1):
+                     depth: int = 1, tome=None):
     """The first ``depth`` encoder levels only — the skip states a
     DeepCache shallow step needs (module names match :func:`run_down_mid`
     so both paths share weights). Level ``depth-1``'s downsample is skipped:
@@ -606,7 +648,7 @@ def run_down_shallow(cfg: UNetConfig, h: Array, temb: Array, context: Array,
                                   ip_adapter=cfg.ip_adapter,
                                   channel_major=channel_major,
                                   approx_gelu=approx_gelu,
-                                  cm_min_seq=cfg.cm_min_seq,
+                                  cm_min_seq=cfg.cm_min_seq, tome=tome,
                                   name=f'down_{i}_attn_{j}')(
                                       h, context, ip_ctx, ip_scale)
             skips.append(h)
@@ -620,7 +662,7 @@ def run_down_shallow(cfg: UNetConfig, h: Array, temb: Array, context: Array,
 def run_up(cfg: UNetConfig, h: Array, skips, temb: Array, context: Array,
            dtype, norm_dtype, ip_ctx=None, ip_scale=1.0,
            channel_major: bool = False, approx_gelu: bool = False,
-           freeu=None, start_i: int = 0, capture_i=None):
+           freeu=None, start_i: int = 0, capture_i=None, tome=None):
     """The UNet's decoder path from up level ``start_i``; optionally
     returns the hidden state entering level ``capture_i`` (i.e. after the
     preceding level's upsample) — the DeepCache splice point."""
@@ -651,7 +693,7 @@ def run_up(cfg: UNetConfig, h: Array, skips, temb: Array, context: Array,
                                   ip_adapter=cfg.ip_adapter,
                                   channel_major=channel_major,
                                   approx_gelu=approx_gelu,
-                                  cm_min_seq=cfg.cm_min_seq,
+                                  cm_min_seq=cfg.cm_min_seq, tome=tome,
                                   name=f'up_{i}_attn_{j}')(
                                       h, context, ip_ctx, ip_scale)
         if i != num_levels - 1:
@@ -680,6 +722,14 @@ class UNet2DCondition(nn.Module):
     # A static module attribute — toggle via Runner.enable_freeu (clone +
     # recompile), keeping the scan body free of dead branches.
     freeu: Optional[tuple] = None
+    # ToMe token merging (Bolya & Hoffman 2023, ops/tome.py): ``(ratio,
+    # min_seq)`` — before every self-attention on a grid of ≥ min_seq
+    # tokens, ``ratio`` of the spatial tokens merge into their most-similar
+    # neighbours; attention runs on the reduced set and the output is
+    # copied back. A compute approximation (no bit-parity target) for the
+    # attention-bound big canvases. Static, like ``freeu``: toggle via
+    # Runner.enable_tome (clone + recompile). None = off.
+    tome: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, latents: Array, t: Array, context: Array,
@@ -723,7 +773,7 @@ class UNet2DCondition(nn.Module):
             skips = run_down_shallow(cfg, h, temb, context, self.dtype,
                                      self.norm_dtype, ip_ctx, ip_scale,
                                      channel_major=cm, approx_gelu=ag,
-                                     depth=depth)
+                                     depth=depth, tome=self.tome)
             if control is not None:
                 down_res, _ = control
                 skips = [s + r.astype(s.dtype)
@@ -731,12 +781,14 @@ class UNet2DCondition(nn.Module):
             h, _ = run_up(cfg, deep_cache.astype(self.dtype), skips, temb,
                           context, self.dtype, self.norm_dtype, ip_ctx,
                           ip_scale, channel_major=cm, approx_gelu=ag,
-                          freeu=self.freeu, start_i=num_levels - depth)
+                          freeu=self.freeu, start_i=num_levels - depth,
+                          tome=self.tome)
             captured = deep_cache
         else:
             h, skips = run_down_mid(cfg, h, temb, context, self.dtype,
                                     self.norm_dtype, ip_ctx, ip_scale,
-                                    channel_major=cm, approx_gelu=ag)
+                                    channel_major=cm, approx_gelu=ag,
+                                    tome=self.tome)
             if control is not None:
                 down_res, mid_res = control
                 if len(down_res) != len(skips):
@@ -750,7 +802,7 @@ class UNet2DCondition(nn.Module):
             h, captured = run_up(cfg, h, skips, temb, context, self.dtype,
                                  self.norm_dtype, ip_ctx, ip_scale,
                                  channel_major=cm, approx_gelu=ag,
-                                 freeu=self.freeu,
+                                 freeu=self.freeu, tome=self.tome,
                                  capture_i=(num_levels - depth
                                             if cache_mode == 'save'
                                             else None))

@@ -140,6 +140,12 @@ class FlexPipeline:
             if (controlnet is not None and
                     getattr(controlnet, 'channel_major', False) is not False):
                 controlnet = controlnet.clone(channel_major=False)
+            if getattr(unet, 'tome', None) is not None:
+                # The ToMe merge plan gathers tokens across the full
+                # sequence; under SP the sequence is row-sharded — a
+                # global top-r gather would defeat the sharding.
+                raise ValueError('ToMe (unet.tome) is incompatible with '
+                                 'sequence parallelism — disable one')
         self.unet = unet
         # Matmul/conv params pre-cast to the module's compute dtype:
         # bit-identical to flax's per-use promote_dtype cast, but done once

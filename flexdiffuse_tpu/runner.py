@@ -325,6 +325,26 @@ class Runner:
         if self.pipe.unet.freeu is not None:
             self._rebuild_with_unet(self.pipe.unet.clone(freeu=None))
 
+    # ------------------------------------------------------------------
+    def enable_tome(self, ratio: float = 0.5, min_seq: int = 4096) -> None:
+        """ToMe token merging (Bolya & Hoffman 2023; beyond-reference
+        accelerator, ops/tome.py): before every self-attention on a grid
+        of ≥ ``min_seq`` tokens, merge ``ratio`` of the spatial tokens
+        into their most-similar neighbours and copy the outputs back —
+        attention cost drops ~(1-ratio)². The default ``min_seq`` engages
+        it only at SD1.x's 4096-token top level (and bigger highres
+        canvases) where attention dominates. An approximation: outputs
+        change slightly (the published quality loss at ratio ≤ 0.5 is
+        negligible). The pipeline recompiles once."""
+        if not 0.0 < ratio < 1.0:
+            raise ValueError('tome ratio must be in (0, 1)')
+        self._rebuild_with_unet(
+            self.pipe.unet.clone(tome=(float(ratio), int(min_seq))))
+
+    def disable_tome(self) -> None:
+        if getattr(self.pipe.unet, 'tome', None) is not None:
+            self._rebuild_with_unet(self.pipe.unet.clone(tome=None))
+
     def _rebuild_with_unet(self, unet, **overrides) -> None:
         """Rebuild the pipeline around a cloned UNet module (same params)."""
         kw = dict(
@@ -547,7 +567,8 @@ class Runner:
             hires_scale: float = 0.0,
             hires_strength: float = 0.55,
             hires_steps: Optional[int] = None,
-            cfg_interval: Optional[Tuple[float, float]] = None):
+            cfg_interval: Optional[Tuple[float, float]] = None,
+            guidance_rescale: float = 0.0):
         """Guided generation (reference ``Runner.gen`` utils.py:114-166).
 
         ``negative_prompt`` replaces the empty-string unconditional embedding
@@ -560,7 +581,12 @@ class Runner:
         ``cfg_interval=(lo, hi)`` applies classifier-free guidance only for
         denoise progress in [lo, hi] (Kynkäänniemi et al. 2024); outside,
         steps run cond-only at ~half cost. (0.0, 0.6) is a good default:
-        faster AND typically better FID than full-range CFG."""
+        faster AND typically better FID than full-range CFG.
+
+        ``guidance_rescale`` (phi, Lin et al. 2023) pulls the CFG noise
+        prediction back toward the cond prediction's std — fixes
+        washed-out images, most visibly on zero-SNR v-pred checkpoints
+        (0.7 recommended there). 0 = off."""
         if mask is not None and init_image is not None:
             fp = f'inp_ds{int(strength * 100)}'
         elif init_image is not None:
@@ -579,6 +605,8 @@ class Runner:
         fp += f'_st{steps}_gs{int(guidance_scale)}'
         if cfg_interval is not None:
             fp += f'_ci{_i100(cfg_interval[0])}-{_i100(cfg_interval[1])}'
+        if guidance_rescale:
+            fp += f'_gr{_i100(guidance_rescale)}'
         if hires_scale and hires_scale > 1.0:
             fp += f'_hr{_i100(hires_scale)}_hs{_i100(hires_strength)}'
         if seed:
@@ -646,6 +674,7 @@ class Runner:
             embeddings=embeds,
             uncond=uncond,
             guidance_scale=jnp.float32(guidance_scale),
+            guidance_rescale=jnp.float32(guidance_rescale),
             cfg=guidance_scale > 1.0,
             **interval_kw,
             **self._ip_fields(ip_embed, ip_image, ip_scale))

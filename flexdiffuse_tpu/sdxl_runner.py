@@ -95,6 +95,44 @@ class SDXLRunner:
         self.enable_deepcache(0)
 
     # ------------------------------------------------------------------
+    def enable_tome(self, ratio: float = 0.5, min_seq: int = 4096) -> None:
+        """ToMe token merging (ops/tome.py) for the base (and refiner, if
+        loaded): merge ``ratio`` of the spatial tokens before every
+        self-attention on grids of ≥ ``min_seq`` tokens. At 1024² SDXL's
+        4096-token level-1 self-attention is the only one the default
+        threshold reaches — exactly the attention-bound one."""
+        if not 0.0 < ratio < 1.0:
+            raise ValueError('tome ratio must be in (0, 1)')
+        tm = (float(ratio), int(min_seq))
+
+        def _with(p):
+            if p is None or getattr(p.unet, 'tome', None) == tm:
+                return p
+            return FlexPipeline(p.unet.clone(tome=tm), p.unet_params,
+                                p.vae, p.vae_params,
+                                scheduler=p.scheduler_kind,
+                                scheduler_config=p.scheduler_config,
+                                latent_scale=p.latent_scale,
+                                deepcache=p.deepcache)
+
+        self.pipe = _with(self.pipe)
+        self.refiner_pipe = _with(self.refiner_pipe)
+
+    def disable_tome(self) -> None:
+        def _without(p):
+            if p is None or getattr(p.unet, 'tome', None) is None:
+                return p
+            return FlexPipeline(p.unet.clone(tome=None), p.unet_params,
+                                p.vae, p.vae_params,
+                                scheduler=p.scheduler_kind,
+                                scheduler_config=p.scheduler_config,
+                                latent_scale=p.latent_scale,
+                                deepcache=p.deepcache)
+
+        self.pipe = _without(self.pipe)
+        self.refiner_pipe = _without(self.refiner_pipe)
+
+    # ------------------------------------------------------------------
     def apply_lora(self, path: str, scale: float = 1.0) -> None:
         """Merge a kohya SDXL LoRA (SGM-named ``lora_unet_*`` +
         ``lora_te1_``/``lora_te2_``) into the loaded weights; repeated
@@ -193,6 +231,7 @@ class SDXLRunner:
             ip_embed=None,
             ip_scale: float = 1.0,
             cfg_interval: Optional[Tuple[float, float]] = None,
+            guidance_rescale: float = 0.0,
             **ui_kwargs):
         """SDXL generation with optional FlexDiffuse image guidance.
 
@@ -230,6 +269,8 @@ class SDXLRunner:
             g = g.replace(cfg_interval=True,
                           cfg_from=jnp.float32(cfg_interval[0]),
                           cfg_to=jnp.float32(cfg_interval[1]))
+        if guidance_rescale:
+            g = g.replace(guidance_rescale=jnp.float32(guidance_rescale))
         if isinstance(guide, str) and not guide.strip():
             guide = None
         if guide is not None:
