@@ -22,6 +22,14 @@ import sys
 def _add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument('--models', default='./models',
                    help='dir with HF snapshots of SD-1.4 and CLIP ViT-L/14')
+    p.add_argument('--sd-model', default=None, metavar='REPO',
+                   help='SD checkpoint repo id (default '
+                        'CompVis/stable-diffusion-v1-4); its basename picks '
+                        'the snapshot dir under --models — e.g. '
+                        'timbrooks/instruct-pix2pix for the edit command, '
+                        'runwayml/stable-diffusion-inpainting for native '
+                        'inpainting (UNet input channels auto-adopt from '
+                        "the snapshot's unet/config.json)")
     p.add_argument('--scheduler', default='pndm',
                    choices=('ddim', 'pndm', 'lms', 'euler', 'euler_a',
                             'dpmpp', 'lcm', 'ddpm', 'unipc', 'heun'))
@@ -132,9 +140,11 @@ def _runner(args):
                                             SD21_VAE)
         model_kw = dict(text_config=OPENCLIP_H_TEXT, unet_config=SD21_UNET,
                         vae_config=SD21_VAE)
+    run_cfg_kw = dict(output_dir=getattr(args, 'out', './outputs'))
+    if getattr(args, 'sd_model', None):
+        run_cfg_kw['sd_model'] = args.sd_model
     runner = Runner(model_root=args.models,
-                    config=RunConfig(output_dir=getattr(args, 'out',
-                                                        './outputs')),
+                    config=RunConfig(**run_cfg_kw),
                     scheduler=args.scheduler,
                     clip_skip=getattr(args, 'clip_skip', 0),
                     scheduler_config=scheduler_config, **model_kw)
@@ -235,6 +245,13 @@ def _apply_pipe_options(runner, args) -> None:
             raise SystemExit("--tome expects 'RATIO' or 'RATIO,MIN_SEQ'")
         runner.enable_tome(float(vals[0]),
                            *([int(vals[1])] if len(vals) == 2 else []))
+    pag_layers = getattr(args, 'pag_layers', '')
+    if pag_layers:
+        if not hasattr(runner, 'enable_pag'):
+            raise SystemExit('--pag-layers is not supported for this model '
+                             'family yet')
+        runner.enable_pag(tuple(s.strip() for s in pag_layers.split(',')
+                                if s.strip()))
 
 
 def cmd_generate(args) -> int:
@@ -273,6 +290,7 @@ def cmd_generate(args) -> int:
         cfg_interval=(tuple(args.cfg_interval)
                       if getattr(args, 'cfg_interval', None) else None),
         guidance_rescale=getattr(args, 'guidance_rescale', 0.0),
+        pag_scale=getattr(args, 'pag', 0.0),
         **({'refine_strength': getattr(args, 'refine_strength', 0.3)}
            if getattr(args, 'model_family', 'sd1') == 'sdxl' else
            {'hires_scale': getattr(args, 'hires_scale', 0.0),
@@ -437,6 +455,12 @@ def _add_pipe_option_args(p) -> None:
                         '(default 4096 = only the attention-bound big '
                         'levels). 0.5 is the published sweet spot; '
                         'empty = off')
+    p.add_argument('--pag-layers', default='',
+                   help="PAG perturbed layers, comma-separated name "
+                        "prefixes ('mid', 'down_1', 'up_2_attn_1'); "
+                        "set automatically to 'mid' when --pag is used "
+                        'without it (generate) or a serve request asks '
+                        'for PAG')
 
 
 def _runner_with_options(args):
@@ -531,6 +555,13 @@ def main(argv=None) -> int:
                         "prediction's std — fixes washed-out images, "
                         'especially zero-SNR v-pred checkpoints (0.7 '
                         'recommended there). 0 = off')
+    p.add_argument('--pag', type=float, default=0.0, metavar='SCALE',
+                   help='perturbed-attention guidance scale (Ahn et al. '
+                        '2024): adds SCALE*(eps_cond - eps_perturbed) '
+                        'where the perturbed row runs identity '
+                        'self-attention in --pag-layers (default mid). '
+                        'Improves structure; works with CFG on or off. '
+                        '~3.0 is the published sweet spot; 0 = off')
     p.add_argument('--concepts', default='')
     p.add_argument('--out', default='./outputs')
     p.add_argument('--height', type=int, default=512)

@@ -115,7 +115,11 @@ def handle_generate(payload: dict) -> dict:
                or 0 < float(p.get('cfg_to', 1) or 1) < 1) else {}),
         # CFG rescale phi (Lin et al. 2023); inert at the 0 default.
         **({'guidance_rescale': float(p['guidance_rescale'])}
-           if float(p.get('guidance_rescale', 0) or 0) > 0 else {}))
+           if float(p.get('guidance_rescale', 0) or 0) > 0 else {}),
+        # PAG (Ahn et al. 2024); inert at the 0 default (the runner
+        # auto-enables the 'mid' perturbed layer on first use).
+        **({'pag_scale': float(p['pag_scale'])}
+           if float(p.get('pag_scale', 0) or 0) > 0 else {}))
     # The reference sandbox shows the batch gallery incl. its grid
     # (interface/sandbox.py:181-185); surface the composite grid too.
     return {'images': [_pil_to_b64(i) for i in imgs],
@@ -202,6 +206,7 @@ table{border-collapse:collapse}td,th{border:1px solid #333;padding:4px}td input{
   <label>CFG from<input id="cfg_from" type="number" step="0.05" value="0"></label>
   <label>CFG to (1 = always)<input id="cfg_to" type="number" step="0.05" value="1"></label>
   <label>CFG rescale (0 = off)<input id="guidance_rescale" type="number" step="0.05" value="0"></label>
+  <label>PAG scale (0 = off)<input id="pag_scale" type="number" step="0.5" value="0"></label>
   <label>Mapping priority<select id="guide_mode"><option value="0">Text Order</option>
    <option value="1" selected>Best Fit</option><option value="2">Direct</option></select></label>
   <label>Reuse latents<input id="reuse" type="checkbox" checked></label>
@@ -257,7 +262,7 @@ async function generate(){const body={};
  for(const k of ['prompt','negative_prompt','guide_text','mapping_concepts','strength','steps','threshold_mult',
   'threshold_floor','samples','linear_start','linear_end','guidance_scale','clustered','seed',
   'max_guidance','header_max','height','width','guide_mode','reuse','debug',
-  'hires_scale','hires_strength','cfg_from','cfg_to','guidance_rescale'])body[k]=v(k);
+  'hires_scale','hires_strength','cfg_from','cfg_to','guidance_rescale','pag_scale'])body[k]=v(k);
  body.init_image=await file64('init_image');body.guide_image=await file64('guide_image');
  body.mask=await file64('mask');
  body.control_image=await file64('control_image');

@@ -233,9 +233,15 @@ class CrossAttention(nn.Module):
     @nn.compact
     def __call__(self, x: Array, context: Optional[Array],
                  ip_ctx: Optional[Array] = None,
-                 ip_scale: Array = 1.0, batch: int = 1) -> Array:
+                 ip_scale: Array = 1.0, batch: int = 1,
+                 pag_mask: Optional[Array] = None) -> Array:
+        """``pag_mask`` (PAG, Ahn et al. 2024 — self-attention only): a
+        ``[B]`` 0/1 row selector; rows with 1 replace the attention map
+        with identity, whose pre-``to_out`` output is exactly ``v`` — a
+        per-row ``where`` on tensors already computed, no extra FLOPs."""
         if self.channel_major:
-            return self._call_cm(x, context, ip_ctx, ip_scale, batch)
+            return self._call_cm(x, context, ip_ctx, ip_scale, batch,
+                                 pag_mask)
         ctx = x if context is None else context.astype(self.dtype)
         d = self.query_dim
         h = self.num_heads
@@ -259,11 +265,13 @@ class CrossAttention(nn.Module):
                                scale=hd**-0.5)
             out = out + jnp.asarray(ip_scale, out.dtype) * out_ip
         out = out.transpose(0, 2, 1, 3).reshape(b, sq, d)
+        if pag_mask is not None and context is None:
+            out = jnp.where(pag_mask[:, None, None] > 0, v, out)
         return nn.Dense(d, name='to_out', dtype=self.dtype)(out)
 
     def _call_cm(self, x: Array, context: Optional[Array],
                  ip_ctx: Optional[Array], ip_scale: Array,
-                 b: int) -> Array:
+                 b: int, pag_mask: Optional[Array] = None) -> Array:
         """Channel-major forward: ``x [C, B·S] → [C, B·S]``; the head
         split/merge to ``[H, D, B, S]`` is a pure bitcast and the flash
         kernel consumes the operands as laid out."""
@@ -299,6 +307,10 @@ class CrossAttention(nn.Module):
                                   scale=hd**-0.5)
             out = out + jnp.asarray(ip_scale, out.dtype) * out_ip
         out = out.reshape(d, b * sq)
+        if pag_mask is not None and context is None:
+            # [C, B·S] is b-major minor-flattened: expand the row mask.
+            m = jnp.repeat(pag_mask, sq)
+            out = jnp.where(m[None, :] > 0, v, out)
         return DenseCM(d, name='to_out', dtype=self.dtype)(out)
 
 
@@ -342,7 +354,7 @@ class BasicTransformerBlock(nn.Module):
     def __call__(self, x: Array, context: Array,
                  ip_ctx: Optional[Array] = None,
                  ip_scale: Array = 1.0, batch: int = 1,
-                 tome_plan=None) -> Array:
+                 tome_plan=None, pag_mask: Optional[Array] = None) -> Array:
         cm = self.channel_major
         if cm:
             ln = lambda name: _ln_cm(name, self.dtype)
@@ -352,7 +364,8 @@ class BasicTransformerBlock(nn.Module):
         attn1 = CrossAttention(self.dim, self.num_heads, name='attn1',
                                dtype=self.dtype, channel_major=cm)
         if tome_plan is None:
-            x = x + attn1(ln('norm1')(x), None, batch=batch)
+            x = x + attn1(ln('norm1')(x), None, batch=batch,
+                          pag_mask=pag_mask)
         else:
             # ToMe (ops/tome.py): self-attention runs on the merged token
             # set and the output is copied back — O((S−r)²) instead of
@@ -362,11 +375,13 @@ class BasicTransformerBlock(nn.Module):
             xa = ln('norm1')(x)
             if cm:
                 xa = _tome.merge_cm(xa, tome_plan, batch)
-                x = x + _tome.unmerge_cm(attn1(xa, None, batch=batch),
+                x = x + _tome.unmerge_cm(attn1(xa, None, batch=batch,
+                                               pag_mask=pag_mask),
                                          tome_plan, batch)
             else:
                 xa = _tome.merge(xa, tome_plan)
-                x = x + _tome.unmerge(attn1(xa, None, batch=batch),
+                x = x + _tome.unmerge(attn1(xa, None, batch=batch,
+                                            pag_mask=pag_mask),
                                       tome_plan)
         x = x + CrossAttention(self.dim, self.num_heads, name='attn2',
                                dtype=self.dtype, channel_major=cm,
@@ -399,6 +414,10 @@ class Transformer2D(nn.Module):
     # least ``min_seq`` tokens (i.e. only the big, attention-bound
     # levels). None = off. Static, like ``freeu``: toggling recompiles.
     tome: Optional[tuple] = None
+    # PAG (Ahn et al. 2024): this transformer applies the perturbed-
+    # attention row selector (see CrossAttention.pag_mask). Static — set
+    # by the UNet from its ``pag_layers`` name patterns.
+    pag: bool = False
 
     def _tome_plan(self, metric: Array, hh: int, ww: int):
         """Merge plan from the post-proj_in hidden state (shared by all
@@ -416,8 +435,10 @@ class Transformer2D(nn.Module):
     @nn.compact
     def __call__(self, x: Array, context: Array,
                  ip_ctx: Optional[Array] = None,
-                 ip_scale: Array = 1.0) -> Array:
+                 ip_scale: Array = 1.0,
+                 pag_mask: Optional[Array] = None) -> Array:
         b, hh, ww, c = x.shape
+        pm = pag_mask if self.pag else None
         residual = x
         h = nn.GroupNorm(self.norm_groups, epsilon=1e-6, name='norm',
                          dtype=jnp.float32)(x).astype(self.dtype)
@@ -436,7 +457,8 @@ class Transformer2D(nn.Module):
                                           approx_gelu=self.approx_gelu,
                                           ip_adapter=self.ip_adapter)(
                                               h, context, ip_ctx, ip_scale,
-                                              batch=b, tome_plan=plan)
+                                              batch=b, tome_plan=plan,
+                                              pag_mask=pm)
             h = Conv1x1CM(self.channels, to_cm=False, name='proj_out',
                           dtype=self.dtype)(h)
             return h.reshape(b, hh, ww, c) + residual
@@ -451,7 +473,7 @@ class Transformer2D(nn.Module):
                                       approx_gelu=self.approx_gelu,
                                       ip_adapter=self.ip_adapter)(
                                           h, context, ip_ctx, ip_scale,
-                                          tome_plan=plan)
+                                          tome_plan=plan, pag_mask=pm)
         h = h.reshape(b, hh, ww, c)
         h = nn.Conv(self.channels, (1, 1), name='proj_out',
                     dtype=self.dtype)(h)
@@ -581,10 +603,20 @@ def resolve_approx_gelu(flag, dtype) -> bool:
     return bool(flag)
 
 
+def pag_selected(pag_layers, name: str) -> bool:
+    """Static PAG layer selection: a pattern matches a transformer by name
+    prefix — ``'mid'`` hits ``mid_attn``, ``'down_1'`` hits every
+    ``down_1_attn_*``, a full name like ``'up_2_attn_1'`` hits exactly one.
+    (The diffusers PAG pipelines use the same granularity; ``('mid',)`` is
+    the published default.)"""
+    return pag_layers is not None and any(
+        name.startswith(p) for p in pag_layers)
+
+
 def run_down_mid(cfg: UNetConfig, h: Array, temb: Array, context: Array,
                  dtype, norm_dtype, ip_ctx=None, ip_scale=1.0,
                  channel_major: bool = False, approx_gelu: bool = False,
-                 tome=None):
+                 tome=None, pag_layers=None, pag_mask=None):
     """The UNet's down + mid path; returns ``(h_mid, skip_states)``.
 
     Shared verbatim (blocks AND names) between :class:`UNet2DCondition` and
@@ -599,14 +631,17 @@ def run_down_mid(cfg: UNetConfig, h: Array, temb: Array, context: Array,
                             norm_dtype=norm_dtype,
                             name=f'down_{i}_res_{j}')(h, temb)
             if cfg.attention_levels[i]:
+                name = f'down_{i}_attn_{j}'
                 h = Transformer2D(ch, cfg.heads_for(ch), cfg.depth_at(i),
                                   cfg.norm_groups, dtype=dtype,
                                   ip_adapter=cfg.ip_adapter,
                                   channel_major=channel_major,
                                   approx_gelu=approx_gelu,
                                   cm_min_seq=cfg.cm_min_seq, tome=tome,
-                                  name=f'down_{i}_attn_{j}')(
-                                      h, context, ip_ctx, ip_scale)
+                                  pag=pag_selected(pag_layers, name),
+                                  name=name)(
+                                      h, context, ip_ctx, ip_scale,
+                                      pag_mask=pag_mask)
             skips.append(h)
         if i != num_levels - 1:
             h = Downsample(ch, dtype=dtype,
@@ -621,7 +656,9 @@ def run_down_mid(cfg: UNetConfig, h: Array, temb: Array, context: Array,
                       dtype=dtype, ip_adapter=cfg.ip_adapter,
                       channel_major=channel_major, approx_gelu=approx_gelu,
                       cm_min_seq=cfg.cm_min_seq, tome=tome,
-                      name='mid_attn')(h, context, ip_ctx, ip_scale)
+                      pag=pag_selected(pag_layers, 'mid_attn'),
+                      name='mid_attn')(h, context, ip_ctx, ip_scale,
+                                       pag_mask=pag_mask)
     h = ResnetBlock(mid_ch, cfg.norm_groups, dtype=dtype,
                     norm_dtype=norm_dtype, name='mid_res_1')(h, temb)
     return h, skips
@@ -630,7 +667,8 @@ def run_down_mid(cfg: UNetConfig, h: Array, temb: Array, context: Array,
 def run_down_shallow(cfg: UNetConfig, h: Array, temb: Array, context: Array,
                      dtype, norm_dtype, ip_ctx=None, ip_scale=1.0,
                      channel_major: bool = False, approx_gelu: bool = False,
-                     depth: int = 1, tome=None):
+                     depth: int = 1, tome=None, pag_layers=None,
+                     pag_mask=None):
     """The first ``depth`` encoder levels only — the skip states a
     DeepCache shallow step needs (module names match :func:`run_down_mid`
     so both paths share weights). Level ``depth-1``'s downsample is skipped:
@@ -643,14 +681,17 @@ def run_down_shallow(cfg: UNetConfig, h: Array, temb: Array, context: Array,
                             norm_dtype=norm_dtype,
                             name=f'down_{i}_res_{j}')(h, temb)
             if cfg.attention_levels[i]:
+                name = f'down_{i}_attn_{j}'
                 h = Transformer2D(ch, cfg.heads_for(ch), cfg.depth_at(i),
                                   cfg.norm_groups, dtype=dtype,
                                   ip_adapter=cfg.ip_adapter,
                                   channel_major=channel_major,
                                   approx_gelu=approx_gelu,
                                   cm_min_seq=cfg.cm_min_seq, tome=tome,
-                                  name=f'down_{i}_attn_{j}')(
-                                      h, context, ip_ctx, ip_scale)
+                                  pag=pag_selected(pag_layers, name),
+                                  name=name)(
+                                      h, context, ip_ctx, ip_scale,
+                                      pag_mask=pag_mask)
             skips.append(h)
         if i < depth - 1:
             h = Downsample(ch, dtype=dtype,
@@ -662,7 +703,8 @@ def run_down_shallow(cfg: UNetConfig, h: Array, temb: Array, context: Array,
 def run_up(cfg: UNetConfig, h: Array, skips, temb: Array, context: Array,
            dtype, norm_dtype, ip_ctx=None, ip_scale=1.0,
            channel_major: bool = False, approx_gelu: bool = False,
-           freeu=None, start_i: int = 0, capture_i=None, tome=None):
+           freeu=None, start_i: int = 0, capture_i=None, tome=None,
+           pag_layers=None, pag_mask=None):
     """The UNet's decoder path from up level ``start_i``; optionally
     returns the hidden state entering level ``capture_i`` (i.e. after the
     preceding level's upsample) — the DeepCache splice point."""
@@ -687,6 +729,7 @@ def run_up(cfg: UNetConfig, h: Array, skips, temb: Array, context: Array,
                             norm_dtype=norm_dtype,
                             name=f'up_{i}_res_{j}')(h, temb)
             if cfg.attention_levels[level]:
+                name = f'up_{i}_attn_{j}'
                 h = Transformer2D(ch, cfg.heads_for(ch),
                                   cfg.depth_at(level), cfg.norm_groups,
                                   dtype=dtype,
@@ -694,8 +737,10 @@ def run_up(cfg: UNetConfig, h: Array, skips, temb: Array, context: Array,
                                   channel_major=channel_major,
                                   approx_gelu=approx_gelu,
                                   cm_min_seq=cfg.cm_min_seq, tome=tome,
-                                  name=f'up_{i}_attn_{j}')(
-                                      h, context, ip_ctx, ip_scale)
+                                  pag=pag_selected(pag_layers, name),
+                                  name=name)(
+                                      h, context, ip_ctx, ip_scale,
+                                      pag_mask=pag_mask)
         if i != num_levels - 1:
             h = Upsample(ch, dtype=dtype, name=f'up_{i}_upsample')(h)
     return h, captured
@@ -730,12 +775,19 @@ class UNet2DCondition(nn.Module):
     # attention-bound big canvases. Static, like ``freeu``: toggle via
     # Runner.enable_tome (clone + recompile). None = off.
     tome: Optional[tuple] = None
+    # PAG perturbed layers (Ahn et al. 2024, "Self-Rectifying Diffusion
+    # Sampling with Perturbed-Attention Guidance"): name-prefix patterns
+    # (see pag_selected) of the transformers whose self-attention turns
+    # into identity on rows where the traced ``pag_mask`` input is 1.
+    # ('mid',) is the published default. Static, like ``freeu``: toggle
+    # via Runner.enable_pag (clone + recompile). None = off.
+    pag_layers: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, latents: Array, t: Array, context: Array,
                  added_cond=None, control=None, ip_ctx=None,
                  ip_scale=1.0, timestep_cond=None, deep_cache=None,
-                 cache_mode: str = 'off'):
+                 cache_mode: str = 'off', pag_mask: Optional[Array] = None):
         """``added_cond`` (SDXL text_time conditioning): dict with
         ``text_embeds [B, pooled_dim]`` and ``time_ids [B, 6]`` — pooled
         second-encoder embeddings plus size/crop micro-conditioning.
@@ -773,7 +825,9 @@ class UNet2DCondition(nn.Module):
             skips = run_down_shallow(cfg, h, temb, context, self.dtype,
                                      self.norm_dtype, ip_ctx, ip_scale,
                                      channel_major=cm, approx_gelu=ag,
-                                     depth=depth, tome=self.tome)
+                                     depth=depth, tome=self.tome,
+                                     pag_layers=self.pag_layers,
+                                     pag_mask=pag_mask)
             if control is not None:
                 down_res, _ = control
                 skips = [s + r.astype(s.dtype)
@@ -782,13 +836,16 @@ class UNet2DCondition(nn.Module):
                           context, self.dtype, self.norm_dtype, ip_ctx,
                           ip_scale, channel_major=cm, approx_gelu=ag,
                           freeu=self.freeu, start_i=num_levels - depth,
-                          tome=self.tome)
+                          tome=self.tome, pag_layers=self.pag_layers,
+                          pag_mask=pag_mask)
             captured = deep_cache
         else:
             h, skips = run_down_mid(cfg, h, temb, context, self.dtype,
                                     self.norm_dtype, ip_ctx, ip_scale,
                                     channel_major=cm, approx_gelu=ag,
-                                    tome=self.tome)
+                                    tome=self.tome,
+                                    pag_layers=self.pag_layers,
+                                    pag_mask=pag_mask)
             if control is not None:
                 down_res, mid_res = control
                 if len(down_res) != len(skips):
@@ -803,6 +860,8 @@ class UNet2DCondition(nn.Module):
                                  self.norm_dtype, ip_ctx, ip_scale,
                                  channel_major=cm, approx_gelu=ag,
                                  freeu=self.freeu, tome=self.tome,
+                                 pag_layers=self.pag_layers,
+                                 pag_mask=pag_mask,
                                  capture_i=(num_levels - depth
                                             if cache_mode == 'save'
                                             else None))

@@ -199,14 +199,16 @@ class FlexPipeline:
 
             def unet_apply(params, lat, t, ctx, added=None, control=None,
                            ip_ctx=None, ip_scale=1.0, timestep_cond=None,
-                           deep_cache=None, cache_mode='off'):
+                           deep_cache=None, cache_mode='off',
+                           pag_mask=None):
                 lat = jax.lax.with_sharding_constraint(lat, row_sharding)
                 with _attn_mod.sp_context(sp_mesh, sp_axis, sp_min_seq):
                     return base_unet_apply(params, lat, t, ctx, added,
                                            control, ip_ctx, ip_scale,
                                            timestep_cond,
                                            deep_cache=deep_cache,
-                                           cache_mode=cache_mode)
+                                           cache_mode=cache_mode,
+                                           pag_mask=pag_mask)
 
             self._sp_sharding = row_sharding
 
@@ -219,13 +221,15 @@ class FlexPipeline:
                     control_cond=None, cn_params=None, cn_scale=1.0,
                     debug=False, inpaint=False):
             def _noise(lat, t, ctx, added, ip, tcond, mode='off',
-                       cache_in=None):
+                       cache_in=None, pag_mask=None):
                 control = None
                 if control_cond is not None:
                     # ControlNet branch: the control net sees only the noisy
                     # latent channels (diffusers semantics) — a 9-channel
                     # inpaint UNet's mask/masked-image extras are stripped —
-                    # plus the conditioning image (CFG rows share it).
+                    # plus the conditioning image (CFG rows share it). The
+                    # control branch is never perturbed (PAG applies to the
+                    # main UNet's self-attention only, diffusers-consistent).
                     cond = jnp.broadcast_to(
                         control_cond,
                         (lat.shape[0],) + control_cond.shape[1:])
@@ -235,10 +239,13 @@ class FlexPipeline:
                 ip_ctx, ip_scale = ip if ip is not None else (None, 1.0)
                 return unet_apply(unet_params, lat, t, ctx, added, control,
                                   ip_ctx, ip_scale, tcond,
-                                  deep_cache=cache_in, cache_mode=mode)
+                                  deep_cache=cache_in, cache_mode=mode,
+                                  pag_mask=pag_mask)
 
-            def noise_fn(lat, t, ctx, added=None, ip=None, tcond=None):
-                return _noise(lat, t, ctx, added, ip, tcond)
+            def noise_fn(lat, t, ctx, added=None, ip=None, tcond=None,
+                         pag_mask=None):
+                return _noise(lat, t, ctx, added, ip, tcond,
+                              pag_mask=pag_mask)
 
             def _pred_save(g, xin, t, progress):
                 """Full UNet row; also returns the captured deep feature.
@@ -247,18 +254,20 @@ class FlexPipeline:
                 out without touching the guidance API."""
                 box = {}
 
-                def nf(lat, tt, ctx, added=None, ip=None, tcond=None):
+                def nf(lat, tt, ctx, added=None, ip=None, tcond=None,
+                       pag_mask=None):
                     eps, box['c'] = _noise(lat, tt, ctx, added, ip, tcond,
-                                           'save')
+                                           'save', pag_mask=pag_mask)
                     return eps
 
                 eps = g.noise_pred(nf, xin, t, progress)
                 return eps, box['c']
 
             def _pred_use(g, xin, t, progress, cache):
-                def nf(lat, tt, ctx, added=None, ip=None, tcond=None):
+                def nf(lat, tt, ctx, added=None, ip=None, tcond=None,
+                       pag_mask=None):
                     eps, _ = _noise(lat, tt, ctx, added, ip, tcond, 'use',
-                                    cache)
+                                    cache, pag_mask=pag_mask)
                     return eps
 
                 return g.noise_pred(nf, xin, t, progress)
@@ -565,6 +574,20 @@ class FlexPipeline:
             raise ValueError('cfg_interval composes with deepcache only '
                              'for SimpleGuidance (composite stacks have no '
                              'half-batch cache layout)')
+        if getattr(guide, 'pag', False):
+            if getattr(self.unet, 'pag_layers', None) is None:
+                raise ValueError(
+                    'PAG guidance requires a UNet with pag_layers set '
+                    '(Runner.enable_pag / unet.clone(pag_layers=...)) — '
+                    'without it the perturbed row is a wasted cond copy')
+            if self.deepcache >= 2 and getattr(guide, 'cfg_interval',
+                                               False):
+                # The interval transition cache tiling assumes the 2-row
+                # [uncond; cond] layout; PAG's 3-row stack breaks it.
+                raise ValueError('PAG composes with deepcache or '
+                                 'cfg_interval, but not both at once '
+                                 '(the half-batch cache layout assumes '
+                                 'two rows per sample)')
         if key is None:
             key = jax.random.PRNGKey(0)
         key, k_enc, k_noise, k_scan = jax.random.split(key, 4)

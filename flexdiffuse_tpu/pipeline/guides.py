@@ -99,25 +99,36 @@ class SimpleGuidance(struct.PyTreeNode):
     cfg_interval: bool = struct.field(pytree_node=False, default=False)
     # CFG rescale phi (Lin et al. 2023, see rescale_cfg); traced, 0 = off.
     guidance_rescale: Array = 0.0
+    # PAG (Ahn et al. 2024): perturbed-attention guidance. When the static
+    # ``pag`` flag is on, the UNet batch grows by one cond-context copy
+    # whose rows run with identity self-attention in the UNet's
+    # ``pag_layers`` (models/unet.py pag_mask), and the prediction adds
+    # ``pag_scale·(eps_cond − eps_perturbed)``. Scale is traced.
+    pag_scale: Array = 0.0
+    pag: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def batch_size(self) -> int:
         return self.embeddings.shape[0]
 
-    def _added(self, n: int, with_uncond: bool):
+    def _added(self, n: int, with_uncond: bool, cond_copies: int = 1):
         if self.pooled is None:
             return None
         b = self.batch_size
         pooled = jnp.broadcast_to(self.pooled,
                                   (b,) + self.pooled.shape[1:])
+        if cond_copies > 1:
+            pooled = jnp.concatenate([pooled] * cond_copies)
         if with_uncond:
-            up = jnp.broadcast_to(self.uncond_pooled, pooled.shape)
+            up = jnp.broadcast_to(self.uncond_pooled,
+                                  (b,) + self.pooled.shape[1:])
             pooled = jnp.concatenate([up, pooled])
         if with_uncond and self.uncond_time_ids is not None:
-            half = (n // 2, self.time_ids.shape[-1])
+            ub = (b, self.time_ids.shape[-1])
+            cb = (b * cond_copies, self.time_ids.shape[-1])
             tids = jnp.concatenate(
-                [jnp.broadcast_to(self.uncond_time_ids, half),
-                 jnp.broadcast_to(self.time_ids, half)])
+                [jnp.broadcast_to(self.uncond_time_ids, ub),
+                 jnp.broadcast_to(self.time_ids, cb)])
         else:
             tids = jnp.broadcast_to(self.time_ids,
                                     (n, self.time_ids.shape[-1]))
@@ -132,11 +143,13 @@ class SimpleGuidance(struct.PyTreeNode):
         return jnp.concatenate([latents, extra.astype(latents.dtype)],
                                axis=-1)
 
-    def _ip(self, b: int, with_uncond: bool):
+    def _ip(self, b: int, with_uncond: bool, cond_copies: int = 1):
         if self.ip_tokens is None:
             return None
         shape = (b,) + self.ip_tokens.shape[1:]
         cond = jnp.broadcast_to(self.ip_tokens, shape)
+        if cond_copies > 1:
+            cond = jnp.concatenate([cond] * cond_copies)
         if with_uncond:
             unc = (jnp.broadcast_to(self.ip_uncond, shape)
                    if self.ip_uncond is not None else jnp.zeros(shape))
@@ -153,6 +166,8 @@ class SimpleGuidance(struct.PyTreeNode):
                    progress: Array = 0.0) -> Array:
         del progress
         b = self.batch_size
+        if self.pag:
+            return self._noise_pred_pag(noise_fn, latents, t)
         if not self.cfg:
             return noise_fn(self._with_extra(latents),
                             jnp.broadcast_to(t, (b,)), self.embeddings,
@@ -169,6 +184,99 @@ class SimpleGuidance(struct.PyTreeNode):
         eps_u, eps_c = jnp.split(eps, 2)
         out = eps_u + self.guidance_scale * (eps_c - eps_u)
         return rescale_cfg(out, eps_c, self.guidance_rescale)
+
+    def _noise_pred_pag(self, noise_fn: NoiseFn, latents: Array,
+                        t: Array) -> Array:
+        """Perturbed-attention guidance: one extra cond-context batch row
+        per sample runs with identity self-attention in the UNet's
+        ``pag_layers`` (selected by the ``pag_mask`` row vector the UNet
+        threads to its transformers), and the prediction gains
+        ``pag_scale·(eps_cond − eps_perturbed)`` — with CFG the batch is
+        ``[uncond; cond; perturbed]`` (published PAG+CFG combination),
+        without it ``[cond; perturbed]``."""
+        b = self.batch_size
+        lat_in = self._with_extra(latents)
+        cond = self.embeddings
+        if self.cfg:
+            ctx = jnp.concatenate(
+                [jnp.broadcast_to(self.uncond, cond.shape), cond, cond])
+            n = 3 * b
+            mask = jnp.concatenate(
+                [jnp.zeros((2 * b,), jnp.float32),
+                 jnp.ones((b,), jnp.float32)])
+            eps = noise_fn(jnp.concatenate([lat_in] * 3),
+                           jnp.broadcast_to(t, (n,)), ctx,
+                           self._added(n, True, cond_copies=2),
+                           self._ip(b, True, cond_copies=2),
+                           self._tcond(n), pag_mask=mask)
+            eps_u, eps_c, eps_p = jnp.split(eps, 3)
+            out = (eps_u + self.guidance_scale * (eps_c - eps_u) +
+                   self.pag_scale * (eps_c - eps_p))
+            return rescale_cfg(out, eps_c, self.guidance_rescale)
+        ctx = jnp.concatenate([cond, cond])
+        n = 2 * b
+        mask = jnp.concatenate(
+            [jnp.zeros((b,), jnp.float32), jnp.ones((b,), jnp.float32)])
+        eps = noise_fn(jnp.concatenate([lat_in, lat_in]),
+                       jnp.broadcast_to(t, (n,)), ctx,
+                       self._added(n, False, cond_copies=2),
+                       self._ip(b, False, cond_copies=2),
+                       self._tcond(n), pag_mask=mask)
+        eps_c, eps_p = jnp.split(eps, 2)
+        out = eps_c + self.pag_scale * (eps_c - eps_p)
+        return rescale_cfg(out, eps_c, self.guidance_rescale)
+
+
+class InstructPix2PixGuidance(struct.PyTreeNode):
+    """Dual text/image classifier-free guidance for InstructPix2Pix
+    (Brooks et al. 2023) edit checkpoints — 8-channel UNets conditioned on
+    the *unnoised* input-image latents as extra input channels.
+
+    Three rows per sample ride one UNet call: ``[uncond (empty text, zero
+    image); image (empty text, image latents); full (text, image
+    latents)]``, and the prediction combines both guidance directions::
+
+        eps = eps_u + s_img·(eps_i − eps_u) + s_txt·(eps_f − eps_i)
+
+    ``image_latents`` are the VAE posterior MODE (mean), **unscaled** —
+    the published IP2P checkpoints were trained on unscaled latents (the
+    diffusers pipeline's prepare_image_latents does the same). Both
+    scales are traced: re-tuning never recompiles.
+    """
+
+    embeddings: Array                    # [B, T, D] edit-instruction embeds
+    uncond: Array                        # [1, T, D] empty/negative prompt
+    image_latents: Array                 # [1 or B, h, w, 4], unscaled mode
+    guidance_scale: Array                # s_txt (diffusers default 7.5)
+    image_guidance_scale: Array          # s_img (diffusers default 1.5)
+    guidance_rescale: Array = 0.0
+
+    @property
+    def batch_size(self) -> int:
+        return self.embeddings.shape[0]
+
+    def noise_pred(self, noise_fn: NoiseFn, latents: Array, t: Array,
+                   progress: Array = 0.0) -> Array:
+        del progress
+        b = self.batch_size
+        img = jnp.broadcast_to(
+            self.image_latents,
+            latents.shape[:3] + (self.image_latents.shape[-1],)).astype(
+                latents.dtype)
+        # Scheduler input scaling was applied to `latents` by the caller;
+        # the image-conditioning channels stay unscaled (IP2P semantics).
+        lat3 = jnp.concatenate([
+            jnp.concatenate([latents, jnp.zeros_like(img)], axis=-1),
+            jnp.concatenate([latents, img], axis=-1),
+            jnp.concatenate([latents, img], axis=-1),
+        ])
+        unc = jnp.broadcast_to(self.uncond, self.embeddings.shape)
+        ctx = jnp.concatenate([unc, unc, self.embeddings])
+        eps = noise_fn(lat3, jnp.broadcast_to(t, (3 * b,)), ctx)
+        eps_u, eps_i, eps_f = jnp.split(eps, 3)
+        out = (eps_u + self.image_guidance_scale * (eps_i - eps_u) +
+               self.guidance_scale * (eps_f - eps_i))
+        return rescale_cfg(out, eps_f, self.guidance_rescale)
 
 
 def prompt_guidance(encoder, prompt, guidance_scale: float) -> SimpleGuidance:

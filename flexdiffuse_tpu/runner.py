@@ -191,22 +191,28 @@ class Runner:
         sd_dir = os.path.join(model_root, config.sd_model.split('/')[-1])
         if unet_config is None:
             unet_config = SD14_UNET
-            # Guidance-embedded (full LCM) checkpoints declare their
-            # cond-proj width in the HF snapshot's unet/config.json
-            # (e.g. SimianLuo/LCM_Dreamshaper_v7: 256) — auto-adopt it so
-            # `--scheduler lcm` works without a hand-built UNetConfig.
+            # Auto-adopt per-checkpoint geometry from the HF snapshot's
+            # unet/config.json: the cond-proj width of guidance-embedded
+            # (full LCM) checkpoints, and the input-channel count of
+            # conditioned UNets (9 = inpainting, 8 = InstructPix2Pix) —
+            # so those checkpoints load without a hand-built UNetConfig.
             cfg_json = os.path.join(sd_dir, 'unet', 'config.json')
             if os.path.exists(cfg_json):
                 import dataclasses
                 import json as _json
                 try:
                     with open(cfg_json) as f:
-                        tcp = _json.load(f).get('time_cond_proj_dim') or 0
+                        uj = _json.load(f)
+                    tcp = uj.get('time_cond_proj_dim') or 0
+                    in_ch = uj.get('in_channels') or 4
                 except (OSError, ValueError):
-                    tcp = 0
+                    tcp, in_ch = 0, 4
                 if tcp:
                     unet_config = dataclasses.replace(
                         unet_config, time_cond_proj_dim=int(tcp))
+                if int(in_ch) != unet_config.in_channels:
+                    unet_config = dataclasses.replace(
+                        unet_config, in_channels=int(in_ch))
         clip_dir = os.path.join(model_root, config.clip_model.split('/')[-1])
         log.info('Loading CLIP from %s and SD from %s (local only: %s)',
                  clip_dir, sd_dir, config.local_only)
@@ -344,6 +350,28 @@ class Runner:
     def disable_tome(self) -> None:
         if getattr(self.pipe.unet, 'tome', None) is not None:
             self._rebuild_with_unet(self.pipe.unet.clone(tome=None))
+
+    # ------------------------------------------------------------------
+    def enable_pag(self, layers: Sequence[str] = ('mid',)) -> None:
+        """PAG — perturbed-attention guidance (Ahn et al. 2024; beyond-
+        reference quality feature): an extra cond batch row runs with
+        identity self-attention in the named transformer layers and the
+        prediction adds ``pag_scale·(eps_cond − eps_perturbed)`` —
+        improves structure/anatomy, and guides even with CFG off (e.g.
+        negative-prompt-free generation). ``layers`` are name prefixes
+        ('mid', 'down_1', 'up_2_attn_1' — models/unet.py pag_selected);
+        ('mid',) is the published default. Selection is static (the
+        pipeline recompiles once); the per-call strength is
+        ``gen(pag_scale=...)`` and never recompiles."""
+        if not layers:
+            raise ValueError('pag layers must name at least one '
+                             "transformer (e.g. ('mid',))")
+        self._rebuild_with_unet(
+            self.pipe.unet.clone(pag_layers=tuple(layers)))
+
+    def disable_pag(self) -> None:
+        if getattr(self.pipe.unet, 'pag_layers', None) is not None:
+            self._rebuild_with_unet(self.pipe.unet.clone(pag_layers=None))
 
     def _rebuild_with_unet(self, unet, **overrides) -> None:
         """Rebuild the pipeline around a cloned UNet module (same params)."""
@@ -568,7 +596,8 @@ class Runner:
             hires_strength: float = 0.55,
             hires_steps: Optional[int] = None,
             cfg_interval: Optional[Tuple[float, float]] = None,
-            guidance_rescale: float = 0.0):
+            guidance_rescale: float = 0.0,
+            pag_scale: float = 0.0):
         """Guided generation (reference ``Runner.gen`` utils.py:114-166).
 
         ``negative_prompt`` replaces the empty-string unconditional embedding
@@ -586,7 +615,17 @@ class Runner:
         ``guidance_rescale`` (phi, Lin et al. 2023) pulls the CFG noise
         prediction back toward the cond prediction's std — fixes
         washed-out images, most visibly on zero-SNR v-pred checkpoints
-        (0.7 recommended there). 0 = off."""
+        (0.7 recommended there). 0 = off.
+
+        ``pag_scale`` (Ahn et al. 2024) adds perturbed-attention guidance:
+        ``pag_scale·(eps_cond − eps_perturbed)`` where the perturbed row
+        runs identity self-attention in the layers set by
+        :meth:`enable_pag` (auto-enabled at the published ('mid',) default
+        on first use). ~3.0 is the paper's sweet spot; works with CFG on
+        or off. 0 = off."""
+        if pag_scale and getattr(self.pipe.unet, 'pag_layers',
+                                 None) is None:
+            self.enable_pag()
         if mask is not None and init_image is not None:
             fp = f'inp_ds{int(strength * 100)}'
         elif init_image is not None:
@@ -607,6 +646,8 @@ class Runner:
             fp += f'_ci{_i100(cfg_interval[0])}-{_i100(cfg_interval[1])}'
         if guidance_rescale:
             fp += f'_gr{_i100(guidance_rescale)}'
+        if pag_scale:
+            fp += f'_pg{_i100(pag_scale)}'
         if hires_scale and hires_scale > 1.0:
             fp += f'_hr{_i100(hires_scale)}_hs{_i100(hires_strength)}'
         if seed:
@@ -670,6 +711,9 @@ class Runner:
             interval_kw = dict(cfg_interval=True,
                                cfg_from=jnp.float32(cfg_interval[0]),
                                cfg_to=jnp.float32(cfg_interval[1]))
+        pag_kw = {}
+        if pag_scale:
+            pag_kw = dict(pag=True, pag_scale=jnp.float32(pag_scale))
         guidance = SimpleGuidance(
             embeddings=embeds,
             uncond=uncond,
@@ -677,6 +721,7 @@ class Runner:
             guidance_rescale=jnp.float32(guidance_rescale),
             cfg=guidance_scale > 1.0,
             **interval_kw,
+            **pag_kw,
             **self._ip_fields(ip_embed, ip_image, ip_scale))
         with self.timer.phase('generate'):
             return self._run(samples, guidance, init_image, init_size,
@@ -686,6 +731,66 @@ class Runner:
                              hires_scale=hires_scale,
                              hires_strength=hires_strength,
                              hires_steps=hires_steps)
+
+    # ------------------------------------------------------------------
+    def edit(self,
+             prompt: str,
+             image: Image.Image,
+             steps: int = 20,
+             guidance_scale: float = 7.5,
+             image_guidance_scale: float = 1.5,
+             negative_prompt: str = '',
+             samples: int = 1,
+             seed: Optional[int] = None,
+             save: bool = True,
+             debug: bool = False,
+             guidance_rescale: float = 0.0):
+        """Instruction-based image editing (InstructPix2Pix, Brooks et al.
+        2023; beyond-reference model family): ``prompt`` is an edit
+        instruction ("make it winter"), ``image`` the picture to edit.
+
+        Requires an 8-channel IP2P checkpoint (e.g.
+        ``timbrooks/instruct-pix2pix``; auto-detected from the snapshot's
+        unet/config.json). The input image conditions every step through
+        extra UNet input channels — its VAE-mode latents ride *unscaled*,
+        the convention the IP2P checkpoints were trained with — and
+        sampling starts from pure noise with dual text/image CFG
+        (:class:`InstructPix2PixGuidance`). ``image_guidance_scale``
+        controls faithfulness to the input (1.5 is the published
+        default; higher = closer to the original)."""
+        from flexdiffuse_tpu.pipeline import InstructPix2PixGuidance
+        from flexdiffuse_tpu.utils.image import preprocess
+        if self.pipe.unet.config.in_channels != 8:
+            raise ValueError(
+                'edit() needs an 8-channel InstructPix2Pix UNet; this '
+                f'pipeline has {self.pipe.unet.config.in_channels} input '
+                'channels (point --models at an instruct-pix2pix snapshot)')
+        fp = (f'edit_st{steps}_gs{int(guidance_scale)}'
+              f'_igs{_i100(image_guidance_scale)}')
+        if guidance_rescale:
+            fp += f'_gr{_i100(guidance_rescale)}'
+        if seed:
+            fp += f'_se{seed}'
+        self._set_seed(seed)
+
+        with self.timer.phase('embeds'):
+            embeds = self.encoder.prompt(prompt)
+            uncond = self.encoder.prompt(negative_prompt or '')
+        pixels = jnp.asarray(preprocess(image))
+        h, w = pixels.shape[1:3]
+        # VAE posterior MODE (mean), UNSCALED — the IP2P conditioning
+        # convention (diffusers prepare_image_latents does the same).
+        mean, _ = self.pipe._encode_moments(self.pipe.vae_params, pixels)
+        guidance = InstructPix2PixGuidance(
+            embeddings=embeds,
+            uncond=uncond,
+            image_latents=mean,
+            guidance_scale=jnp.float32(guidance_scale),
+            image_guidance_scale=jnp.float32(image_guidance_scale),
+            guidance_rescale=jnp.float32(guidance_rescale))
+        with self.timer.phase('generate'):
+            return self._run(samples, guidance, None, (h, w), 1.0, steps,
+                             debug, fp, save)
 
     # ------------------------------------------------------------------
     def compose(self,

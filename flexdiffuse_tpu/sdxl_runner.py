@@ -133,6 +133,35 @@ class SDXLRunner:
         self.refiner_pipe = _without(self.refiner_pipe)
 
     # ------------------------------------------------------------------
+    def enable_pag(self, layers=('mid',)) -> None:
+        """PAG perturbed layers on the BASE stage (Ahn et al. 2024; see
+        Runner.enable_pag). The refiner keeps plain CFG — its short
+        low-noise tail is past where attention perturbation helps, and
+        the official SDXL-PAG workflows perturb the base only."""
+        if not layers:
+            raise ValueError("pag layers must name at least one "
+                             "transformer (e.g. ('mid',))")
+        pl = tuple(layers)
+        p = self.pipe
+        if getattr(p.unet, 'pag_layers', None) != pl:
+            self.pipe = FlexPipeline(p.unet.clone(pag_layers=pl),
+                                     p.unet_params, p.vae, p.vae_params,
+                                     scheduler=p.scheduler_kind,
+                                     scheduler_config=p.scheduler_config,
+                                     latent_scale=p.latent_scale,
+                                     deepcache=p.deepcache)
+
+    def disable_pag(self) -> None:
+        p = self.pipe
+        if getattr(p.unet, 'pag_layers', None) is not None:
+            self.pipe = FlexPipeline(p.unet.clone(pag_layers=None),
+                                     p.unet_params, p.vae, p.vae_params,
+                                     scheduler=p.scheduler_kind,
+                                     scheduler_config=p.scheduler_config,
+                                     latent_scale=p.latent_scale,
+                                     deepcache=p.deepcache)
+
+    # ------------------------------------------------------------------
     def apply_lora(self, path: str, scale: float = 1.0) -> None:
         """Merge a kohya SDXL LoRA (SGM-named ``lora_unet_*`` +
         ``lora_te1_``/``lora_te2_``) into the loaded weights; repeated
@@ -232,6 +261,7 @@ class SDXLRunner:
             ip_scale: float = 1.0,
             cfg_interval: Optional[Tuple[float, float]] = None,
             guidance_rescale: float = 0.0,
+            pag_scale: float = 0.0,
             **ui_kwargs):
         """SDXL generation with optional FlexDiffuse image guidance.
 
@@ -271,6 +301,12 @@ class SDXLRunner:
                           cfg_to=jnp.float32(cfg_interval[1]))
         if guidance_rescale:
             g = g.replace(guidance_rescale=jnp.float32(guidance_rescale))
+        if pag_scale:
+            # PAG on the base stage (the refiner guidance below stays
+            # plain CFG — see enable_pag).
+            if getattr(self.pipe.unet, 'pag_layers', None) is None:
+                self.enable_pag()
+            g = g.replace(pag=True, pag_scale=jnp.float32(pag_scale))
         if isinstance(guide, str) and not guide.strip():
             guide = None
         if guide is not None:
@@ -309,6 +345,8 @@ class SDXLRunner:
         if cfg_interval is not None:
             fp += (f'_ci{int(cfg_interval[0] * 100)}'
                    f'-{int(cfg_interval[1] * 100)}')
+        if pag_scale:
+            fp += f'_pg{int(pag_scale * 100)}'
         if refine:
             fp += f'_ref{int(refine_strength * 100)}'
         if seed:
