@@ -320,6 +320,27 @@ def cmd_compose(args) -> int:
     return 0
 
 
+def cmd_edit(args) -> int:
+    """Instruction-based image editing (InstructPix2Pix; needs an
+    8-channel edit checkpoint, e.g. timbrooks/instruct-pix2pix — the UNet
+    input width is auto-detected from the snapshot's unet/config.json)."""
+    from PIL import Image
+    runner = _runner(args)
+    if not hasattr(runner, 'edit'):
+        raise SystemExit('edit needs an SD1.x-family InstructPix2Pix '
+                         'checkpoint (--model-family sd1)')
+    _apply_pipe_options(runner, args)
+    imgs, grid = runner.edit(
+        prompt=args.prompt, image=Image.open(args.image), steps=args.steps,
+        guidance_scale=args.guidance_scale,
+        image_guidance_scale=args.image_guidance_scale,
+        negative_prompt=args.negative_prompt, samples=args.samples,
+        seed=args.seed, debug=args.debug,
+        guidance_rescale=getattr(args, 'guidance_rescale', 0.0))
+    print(f'{len(imgs)} image(s) written to {runner.output_dir}')
+    return 0
+
+
 def cmd_train(args) -> int:
     """Fine-tune on a folder of images (LoRA by default, ``--full`` for the
     whole UNet). Loads fp32 master params straight off the converted
@@ -583,6 +604,28 @@ def main(argv=None) -> int:
     p.add_argument('--seed', type=int, default=None)
     p.add_argument('--debug', action='store_true')
     p.set_defaults(fn=cmd_generate)
+
+    p = sub.add_parser('edit',
+                       help='instruction-based image editing '
+                            '(InstructPix2Pix 8-channel checkpoints)')
+    _add_model_args(p)
+    p.add_argument('--prompt', required=True, help='edit instruction, '
+                   'e.g. "make it winter"')
+    p.add_argument('--image', required=True, help='image to edit')
+    p.add_argument('--negative-prompt', default='')
+    p.add_argument('--steps', type=int, default=30)
+    p.add_argument('--guidance-scale', type=float, default=7.5,
+                   help='text CFG scale (published IP2P default 7.5)')
+    p.add_argument('--image-guidance-scale', type=float, default=1.5,
+                   help='image CFG scale — higher stays closer to the '
+                        'input (published default 1.5)')
+    p.add_argument('--guidance-rescale', type=float, default=0.0)
+    p.add_argument('--samples', type=int, default=1)
+    p.add_argument('--seed', type=int, default=None)
+    p.add_argument('--out', default='./outputs')
+    p.add_argument('--debug', action='store_true')
+    _add_pipe_option_args(p)
+    p.set_defaults(fn=cmd_edit)
 
     p = sub.add_parser('compose', help='regional composition from a schema')
     _add_model_args(p)

@@ -776,7 +776,9 @@ class Runner:
         with self.timer.phase('embeds'):
             embeds = self.encoder.prompt(prompt)
             uncond = self.encoder.prompt(negative_prompt or '')
-        pixels = jnp.asarray(preprocess(image))
+        if isinstance(image, Image.Image):
+            image = preprocess(image)
+        pixels = jnp.asarray(image, jnp.float32)
         h, w = pixels.shape[1:3]
         # VAE posterior MODE (mean), UNSCALED — the IP2P conditioning
         # convention (diffusers prepare_image_latents does the same).
