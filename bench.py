@@ -1,7 +1,11 @@
 """Benchmark: the full SD-1.x north-star metric set on one chip.
 
-Prints ONE JSON line:
-``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}``.
+Prints the metric JSON line
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}``
+as soon as the primary measurements finish, then RE-prints the complete
+record after each extra lands (same schema, growing) — the LAST line on
+stdout is always the most complete parseable record, and a driver timeout
+can no longer erase the primary metric (the round-4 failure mode).
 
 Primary value — denoise-loop steps/sec — measures the real product
 workload: the compiled ``lax.scan`` sampling loop (CFG-doubled UNet + PLMS
@@ -228,9 +232,25 @@ def _serving_batch4(rounds: int = 3):
 
 
 def main() -> None:
+    """Timeout-proof protocol (round-4 postmortem: BENCH_r04 rc=124 lost
+    every number because the JSON printed only after ~5 chained subprocess
+    benches). Now:
+
+    1. Measure the PRIMARY metric set in-process (~3 min warm via the
+       persistent compile cache) and print the full JSON line immediately.
+    2. Run extras one at a time under ONE global wall-clock budget
+       (BENCH_BUDGET_S, default 20 min) and RE-PRINT the complete record
+       after each — so whatever line is last on stdout when a driver
+       timeout hits is always a full, parseable record containing the
+       primary metric plus every extra finished so far. Extras that don't
+       fit the remaining budget are marked ``{"skipped": "budget"}``.
+    """
     import numpy as np
 
     from flexdiffuse_tpu.ops import attention
+
+    t_start = time.monotonic()
+    budget = float(os.environ.get('BENCH_BUDGET_S', '1200'))
 
     with attention.backend('flash'):
         sample, args, length = _build()
@@ -241,49 +261,12 @@ def main() -> None:
         p50 = float(np.median(runs))
         phase = np.median(np.array([one_image_phased() for _ in range(5)]),
                           axis=0)
-        serving = _serving_batch4()
 
     with attention.backend('xla'):
         sample_xla, args_xla, _ = _build()
         xla_sps, _ = _time(sample_xla, args_xla, length)
 
-    # SDXL in a SUBPROCESS: the 2.5B-param model does not fit alongside this
-    # process's live SD-1.4 buffers (in-process measurement hits
-    # RESOURCE_EXHAUSTED on the 16 GB chip).
-    sdxl = None
-    try:
-        import subprocess
-        proc = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          'tools', 'bench_sdxl.py'), '--json'],
-            capture_output=True, text=True, timeout=1200)
-        sdxl = json.loads(proc.stdout.strip().splitlines()[-1])
-    except Exception as e:  # never jeopardize the primary metric
-        sdxl = {'error': str(e)[:200]}
-
-    # LCM few-step serving and the training step (subprocesses: each owns
-    # multi-GB buffers that don't fit next to this process's live SD-1.4
-    # state).
-    import subprocess
-
-    def _sub(tool, timeout):
-        try:
-            proc = subprocess.run(
-                [sys.executable,
-                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              'tools', tool), '--json'],
-                capture_output=True, text=True, timeout=timeout)
-            return json.loads(proc.stdout.strip().splitlines()[-1])
-        except Exception as e:
-            return {'error': str(e)[:200]}
-
-    lcm = _sub('bench_lcm.py', 1200)
-    train = _sub('bench_train.py', 1800)
-    deepcache = _sub('bench_deepcache.py', 1200)
-    cfg_interval = _sub('cfg_interval_exp.py', 1200)
-
-    print(json.dumps({
+    record = {
         'metric': ('sd1.4 512x512 CFG denoise-loop steps/sec/chip '
                    f'(bf16, PLMS, {STEPS}-step scan)'),
         'value': round(flash_sps, 3),
@@ -304,13 +287,52 @@ def main() -> None:
             'denoise_scan': round(float(phase[1]) * 1e3, 2),
             'vae_decode_fetch': round(float(phase[2]) * 1e3, 2),
         },
-        'serving_batch4': serving,
-        'sdxl': sdxl,
-        'lcm_4step': lcm,
-        'training': train,
-        'deepcache': deepcache,
-        'cfg_interval': cfg_interval,
-    }))
+    }
+    print(json.dumps(record), flush=True)   # primary metric is now safe
+
+    def remaining() -> float:
+        return budget - (time.monotonic() - t_start)
+
+    # Serving throughput in-process (shares the already-live SD-1.4 UNet;
+    # batch-4 scan compile is cached across rounds).
+    if remaining() > 120:
+        with attention.backend('flash'):
+            record['serving_batch4'] = _serving_batch4()
+    else:
+        record['serving_batch4'] = {'skipped': 'budget'}
+    print(json.dumps(record), flush=True)
+
+    # Subprocess extras, highest-value first. Each owns multi-GB buffers
+    # that don't fit next to this process's live SD-1.4 state (SDXL alone
+    # is 2.5B params — in-process it hits RESOURCE_EXHAUSTED on the 16 GB
+    # chip). Per-tool cap AND the global budget bound every run; the full
+    # record re-prints after each so a driver timeout can only lose the
+    # not-yet-finished extras.
+    import subprocess
+
+    def _sub(tool, cap):
+        t = min(cap, remaining())
+        if t < 60:
+            return {'skipped': 'budget'}
+        try:
+            proc = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              'tools', tool), '--json'],
+                capture_output=True, text=True, timeout=t)
+            return json.loads(proc.stdout.strip().splitlines()[-1])
+        except Exception as e:
+            return {'error': str(e)[:200]}
+
+    for key, tool, cap in (
+            ('deepcache', 'bench_deepcache.py', 600),
+            ('training', 'bench_train.py', 600),
+            ('sdxl', 'bench_sdxl.py', 600),
+            ('lcm_4step', 'bench_lcm.py', 480),
+            ('cfg_interval', 'cfg_interval_exp.py', 480),
+    ):
+        record[key] = _sub(tool, cap)
+        print(json.dumps(record), flush=True)
 
 
 if __name__ == '__main__':

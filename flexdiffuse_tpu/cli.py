@@ -325,6 +325,13 @@ def cmd_edit(args) -> int:
     8-channel edit checkpoint, e.g. timbrooks/instruct-pix2pix — the UNet
     input width is auto-detected from the snapshot's unet/config.json)."""
     from PIL import Image
+    if getattr(args, 'pag_layers', ''):
+        # The IP2P guidance path never feeds a pag_mask to the UNet, so
+        # perturbed layers would only force a pointless rebuild/recompile.
+        # Checked before model loading — fail fast.
+        raise SystemExit('--pag-layers does not apply to edit (the '
+                         'InstructPix2Pix guidance path has no PAG); '
+                         'remove the flag')
     runner = _runner(args)
     if not hasattr(runner, 'edit'):
         raise SystemExit('edit needs an SD1.x-family InstructPix2Pix '

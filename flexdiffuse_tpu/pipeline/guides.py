@@ -38,8 +38,11 @@ def rescale_cfg(eps_cfg: Array, eps_cond: Array, phi: Array) -> Array:
     Sample Steps are Flawed" §3.4): CFG inflates the noise prediction's
     scale, washing out images (worst for zero-SNR v-pred checkpoints);
     rescale it toward the cond prediction's per-sample std and lerp by
-    ``phi``. Traced ``phi`` — re-tuning never recompiles; ``phi=0`` returns
-    ``eps_cfg`` bit-exactly (0·x + 1·eps), keeping the program single-path.
+    ``phi``. Traced ``phi`` — re-tuning never recompiles. NOTE: callers
+    gate this behind the static ``rescale`` flag — even at ``phi=0`` the
+    per-row std reductions change the compiled program's fusion/numerics
+    across padded batch shapes, which broke row-level reproducibility in
+    the serving batcher (round-4 regression, tests/test_serving.py).
     """
     axes = tuple(range(1, eps_cfg.ndim))
     std_c = jnp.std(eps_cond, axis=axes, keepdims=True)
@@ -97,8 +100,14 @@ class SimpleGuidance(struct.PyTreeNode):
     cfg_from: Array = 0.0
     cfg_to: Array = 1.0
     cfg_interval: bool = struct.field(pytree_node=False, default=False)
-    # CFG rescale phi (Lin et al. 2023, see rescale_cfg); traced, 0 = off.
+    # CFG rescale phi (Lin et al. 2023, see rescale_cfg). The phi VALUE is
+    # traced (re-tuning never recompiles) but the feature is gated by the
+    # static ``rescale`` flag: with it off the graph contains no std
+    # reductions, so the compiled program — and its row-level numerics
+    # under the serving batcher's padded shapes — is identical to a build
+    # that predates the feature.
     guidance_rescale: Array = 0.0
+    rescale: bool = struct.field(pytree_node=False, default=False)
     # PAG (Ahn et al. 2024): perturbed-attention guidance. When the static
     # ``pag`` flag is on, the UNet batch grows by one cond-context copy
     # whose rows run with identity self-attention in the UNet's
@@ -183,7 +192,9 @@ class SimpleGuidance(struct.PyTreeNode):
                        self._tcond(2 * b))
         eps_u, eps_c = jnp.split(eps, 2)
         out = eps_u + self.guidance_scale * (eps_c - eps_u)
-        return rescale_cfg(out, eps_c, self.guidance_rescale)
+        if self.rescale:
+            out = rescale_cfg(out, eps_c, self.guidance_rescale)
+        return out
 
     def _noise_pred_pag(self, noise_fn: NoiseFn, latents: Array,
                         t: Array) -> Array:
@@ -212,7 +223,9 @@ class SimpleGuidance(struct.PyTreeNode):
             eps_u, eps_c, eps_p = jnp.split(eps, 3)
             out = (eps_u + self.guidance_scale * (eps_c - eps_u) +
                    self.pag_scale * (eps_c - eps_p))
-            return rescale_cfg(out, eps_c, self.guidance_rescale)
+            if self.rescale:
+                out = rescale_cfg(out, eps_c, self.guidance_rescale)
+            return out
         ctx = jnp.concatenate([cond, cond])
         n = 2 * b
         mask = jnp.concatenate(
@@ -224,7 +237,9 @@ class SimpleGuidance(struct.PyTreeNode):
                        self._tcond(n), pag_mask=mask)
         eps_c, eps_p = jnp.split(eps, 2)
         out = eps_c + self.pag_scale * (eps_c - eps_p)
-        return rescale_cfg(out, eps_c, self.guidance_rescale)
+        if self.rescale:
+            out = rescale_cfg(out, eps_c, self.guidance_rescale)
+        return out
 
 
 class InstructPix2PixGuidance(struct.PyTreeNode):
@@ -249,7 +264,8 @@ class InstructPix2PixGuidance(struct.PyTreeNode):
     image_latents: Array                 # [1 or B, h, w, 4], unscaled mode
     guidance_scale: Array                # s_txt (diffusers default 7.5)
     image_guidance_scale: Array          # s_img (diffusers default 1.5)
-    guidance_rescale: Array = 0.0
+    guidance_rescale: Array = 0.0        # traced phi; gated by `rescale`
+    rescale: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def batch_size(self) -> int:
@@ -276,7 +292,9 @@ class InstructPix2PixGuidance(struct.PyTreeNode):
         eps_u, eps_i, eps_f = jnp.split(eps, 3)
         out = (eps_u + self.image_guidance_scale * (eps_i - eps_u) +
                self.guidance_scale * (eps_f - eps_i))
-        return rescale_cfg(out, eps_f, self.guidance_rescale)
+        if self.rescale:
+            out = rescale_cfg(out, eps_f, self.guidance_rescale)
+        return out
 
 
 def prompt_guidance(encoder, prompt, guidance_scale: float) -> SimpleGuidance:
@@ -344,8 +362,10 @@ class CompositeGuidance(struct.PyTreeNode):
     cfg_from: Array = 0.0
     cfg_to: Array = 1.0
     cfg_interval: bool = struct.field(pytree_node=False, default=False)
-    # CFG rescale phi (Lin et al. 2023, see rescale_cfg); traced, 0 = off.
+    # CFG rescale phi (Lin et al. 2023, see rescale_cfg); traced phi value,
+    # statically gated by `rescale` (see SimpleGuidance note).
     guidance_rescale: Array = 0.0
+    rescale: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def batch_size(self) -> int:
@@ -403,5 +423,6 @@ class CompositeGuidance(struct.PyTreeNode):
             uncond = eps[:, 0]
             cond = bg
             bg = uncond + self.guidance_scale * (bg - uncond)
-            bg = rescale_cfg(bg, cond, self.guidance_rescale)
+            if self.rescale:
+                bg = rescale_cfg(bg, cond, self.guidance_rescale)
         return bg

@@ -714,11 +714,17 @@ class Runner:
         pag_kw = {}
         if pag_scale:
             pag_kw = dict(pag=True, pag_scale=jnp.float32(pag_scale))
+        rescale_kw = {}
+        if guidance_rescale:
+            # Static gate: phi=0 must build the identical (reduction-free)
+            # graph, preserving row-level batch reproducibility (serving).
+            rescale_kw = dict(rescale=True,
+                              guidance_rescale=jnp.float32(guidance_rescale))
         guidance = SimpleGuidance(
             embeddings=embeds,
             uncond=uncond,
             guidance_scale=jnp.float32(guidance_scale),
-            guidance_rescale=jnp.float32(guidance_rescale),
+            **rescale_kw,
             cfg=guidance_scale > 1.0,
             **interval_kw,
             **pag_kw,
@@ -735,7 +741,7 @@ class Runner:
     # ------------------------------------------------------------------
     def edit(self,
              prompt: str,
-             image: Image.Image,
+             image: Union[Image.Image, np.ndarray],
              steps: int = 20,
              guidance_scale: float = 7.5,
              image_guidance_scale: float = 1.5,
@@ -747,7 +753,9 @@ class Runner:
              guidance_rescale: float = 0.0):
         """Instruction-based image editing (InstructPix2Pix, Brooks et al.
         2023; beyond-reference model family): ``prompt`` is an edit
-        instruction ("make it winter"), ``image`` the picture to edit.
+        instruction ("make it winter"), ``image`` the picture to edit —
+        a PIL image, or a preprocessed ``[-1, 1]`` NHWC array (``[1, H,
+        W, 3]``; a bare ``[H, W, 3]`` gains the batch dim).
 
         Requires an 8-channel IP2P checkpoint (e.g.
         ``timbrooks/instruct-pix2pix``; auto-detected from the snapshot's
@@ -779,6 +787,12 @@ class Runner:
         if isinstance(image, Image.Image):
             image = preprocess(image)
         pixels = jnp.asarray(image, jnp.float32)
+        if pixels.ndim == 3:          # unbatched HWC → add the batch dim
+            pixels = pixels[None]
+        if pixels.ndim != 4 or pixels.shape[-1] != 3:
+            raise ValueError(
+                'edit() image array must be [1, H, W, 3] (or [H, W, 3]) '
+                f'in [-1, 1]; got shape {tuple(pixels.shape)}')
         h, w = pixels.shape[1:3]
         # VAE posterior MODE (mean), UNSCALED — the IP2P conditioning
         # convention (diffusers prepare_image_latents does the same).
@@ -789,7 +803,9 @@ class Runner:
             image_latents=mean,
             guidance_scale=jnp.float32(guidance_scale),
             image_guidance_scale=jnp.float32(image_guidance_scale),
-            guidance_rescale=jnp.float32(guidance_rescale))
+            **(dict(rescale=True,
+                    guidance_rescale=jnp.float32(guidance_rescale))
+               if guidance_rescale else {}))
         with self.timer.phase('generate'):
             return self._run(samples, guidance, None, (h, w), 1.0, steps,
                              debug, fp, save)

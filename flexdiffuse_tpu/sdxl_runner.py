@@ -300,7 +300,8 @@ class SDXLRunner:
                           cfg_from=jnp.float32(cfg_interval[0]),
                           cfg_to=jnp.float32(cfg_interval[1]))
         if guidance_rescale:
-            g = g.replace(guidance_rescale=jnp.float32(guidance_rescale))
+            g = g.replace(rescale=True,
+                          guidance_rescale=jnp.float32(guidance_rescale))
         if pag_scale:
             # PAG on the base stage (the refiner guidance below stays
             # plain CFG — see enable_pag).

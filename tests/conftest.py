@@ -20,4 +20,14 @@ import jax  # noqa: E402
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', False)
 
+# Persistent compilation cache for the CPU test platform: the suite is
+# compile-bound on this 1-CPU box (42 min cold, round-4 postmortem), and
+# most of that is re-compiling the same tiny-model programs every run.
+# A warm cache cuts repeat full-suite runs to a fraction — cheap enough
+# to run before every snapshot (the round-4 process failure).
+_cache_dir = os.path.join(os.path.dirname(__file__), '.jax_cache_cpu')
+jax.config.update('jax_compilation_cache_dir', _cache_dir)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+
 assert jax.devices()[0].platform == 'cpu'

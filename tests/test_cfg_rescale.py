@@ -46,12 +46,14 @@ def test_simple_guidance_rescale_plumbs():
     lat = jnp.asarray(rng.normal(size=(1, 8, 8, 4)).astype(np.float32))
     g0 = SimpleGuidance(embeddings=emb, uncond=unc,
                         guidance_scale=jnp.float32(8.0), cfg=True)
-    g7 = g0.replace(guidance_rescale=jnp.float32(0.7))
+    g7 = g0.replace(rescale=True, guidance_rescale=jnp.float32(0.7))
     e0 = np.asarray(g0.noise_pred(noise_fn, lat, jnp.float32(500)))
     e7 = np.asarray(g7.noise_pred(noise_fn, lat, jnp.float32(500)))
     assert np.isfinite(e7).all()
     assert np.abs(e0 - e7).max() > 1e-6
-    # phi=0 (the default) must be bit-identical to the pre-feature output.
+    # rescale off (the default, static gate) must be bit-identical to the
+    # pre-feature output — and build a reduction-free graph (the round-4
+    # regression: even phi=0 rescale changed padded-batch numerics).
     e00 = np.asarray(g0.replace(guidance_rescale=jnp.float32(0.0))
                      .noise_pred(noise_fn, lat, jnp.float32(500)))
     np.testing.assert_array_equal(e0, e00)
@@ -101,7 +103,7 @@ def test_zero_snr_pipeline_v_pred_finite():
     emb = jnp.asarray(rng.normal(size=(1, 77, 32)).astype(np.float32))
     g = SimpleGuidance(embeddings=emb, uncond=jnp.zeros_like(emb),
                        guidance_scale=jnp.float32(7.0), cfg=True,
-                       guidance_rescale=jnp.float32(0.7))
+                       rescale=True, guidance_rescale=jnp.float32(0.7))
     out = pipe(g, steps=4, init_size=(64, 64),
                key=jax.random.PRNGKey(3), output_type='latent')
     assert np.isfinite(np.asarray(out.images)).all()

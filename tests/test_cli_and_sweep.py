@@ -296,3 +296,13 @@ def test_inpaint_sweep_keeps_masked_region():
               mask=mask)
     with np.testing.assert_raises(ValueError):
         test_requires_init()
+
+
+def test_cli_edit_rejects_pag_layers():
+    """ADVICE r4: --pag-layers on edit was a silent no-op (IP2P guidance
+    never passes pag_mask) that only forced a recompile — now it fails
+    fast, before any model loading."""
+    r = _cli('edit', '--prompt', 'x', '--image', '/nonexistent.png',
+             '--pag-layers', 'mid', '--models', '/nonexistent')
+    assert r.returncode != 0
+    assert 'does not apply to edit' in r.stderr

@@ -191,3 +191,21 @@ def test_edit_rejects_4_channel_unet(tmp_path):
                            config=RunConfig(output_dir=str(tmp_path)))
     with pytest.raises(ValueError, match='8-channel'):
         r.edit('x', _image(), steps=2)
+
+
+def test_edit_unbatched_hwc_array_gains_batch_dim(edit_runner):
+    """ADVICE r4: a bare [H, W, 3] array must behave like [1, H, W, 3],
+    not silently misread (64, 3) as (h, w)."""
+    batched = _image(seed=7)
+    a, _ = edit_runner.edit('p', batched, steps=2, seed=4, save=False)
+    b, _ = edit_runner.edit('p', batched[0], steps=2, seed=4, save=False)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def test_edit_rejects_bad_array_rank(edit_runner):
+    with pytest.raises(ValueError, match=r'\[1, H, W, 3\]'):
+        edit_runner.edit('p', np.zeros((64, 64), np.float32), steps=2,
+                         save=False)
+    with pytest.raises(ValueError, match=r'\[1, H, W, 3\]'):
+        edit_runner.edit('p', np.zeros((1, 64, 64, 4), np.float32), steps=2,
+                         save=False)
