@@ -117,9 +117,25 @@ def _build_runner(args):
                                   FakeTokenizer(),
                                   config=RunConfig(output_dir=args.out))
     from flexdiffuse_tpu.runner import Runner
-    return Runner(model_root=args.models,
-                  config=RunConfig(output_dir=args.out),
-                  scheduler=args.scheduler)
+    return _ensure_exact(Runner(model_root=args.models,
+                                config=RunConfig(output_dir=args.out),
+                                scheduler=args.scheduler))
+
+
+def _ensure_exact(runner):
+    """Parity runs must use the EXACT path (VERDICT r4 #8): the protocol
+    images are seeded visual goldens, so every approximation accelerator
+    (DeepCache / ToMe / PAG layers / FreeU) is forced off regardless of
+    ambient config — their drift would be misread as parity failure."""
+    if getattr(runner.pipe, 'deepcache', 0):
+        runner.disable_deepcache()
+    if getattr(runner.pipe.unet, 'tome', None) is not None:
+        runner.disable_tome()
+    if getattr(runner.pipe.unet, 'pag_layers', None) is not None:
+        runner.disable_pag()
+    if getattr(runner.pipe.unet, 'freeu', None) is not None:
+        runner.disable_freeu()
+    return runner
 
 
 def _final_latents(runner, kwargs):
