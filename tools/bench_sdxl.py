@@ -97,6 +97,28 @@ def measure(verbose: bool = True) -> dict:
     }
 
 
+def _measure_deepcache(interval: int = 3) -> dict:
+    """SDXL DeepCache scan (VERDICT r4 #6: make the 19+ steps/s claim
+    driver-captured). Runs AFTER the exact measurement's buffers are
+    garbage-collected — two live 2.5B-param trees don't fit on the chip."""
+    import gc
+    gc.collect()
+    from tools.sdxl_deepcache_exp import build
+    run, length = build(interval)
+    out = run()                      # compile + warm
+    best = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run()
+        best = min(best, time.perf_counter() - t0)
+    return {
+        'interval': interval,
+        'steps_per_sec': round(length / best, 3),
+        'seconds_per_image_25step': round(best / length * 25, 2),
+        'finite': bool(np.isfinite(out).all()),
+    }
+
+
 def main() -> None:
     json_only = '--json' in sys.argv
     if not json_only:
@@ -104,6 +126,10 @@ def main() -> None:
     out = measure(verbose=not json_only)
     out['value'] = out.pop('steps_per_sec')
     out['unit'] = 'steps/sec'
+    try:
+        out['deepcache'] = _measure_deepcache()
+    except Exception as e:     # never jeopardize the exact number
+        out['deepcache'] = {'error': str(e)[:200]}
     print(json.dumps(out))
 
 
