@@ -52,6 +52,26 @@ def rescale_cfg(eps_cfg: Array, eps_cond: Array, phi: Array) -> Array:
     return phi * rescaled + (1.0 - phi) * eps_cfg
 
 
+def _check_rescale_gate(guide) -> None:
+    """Catch the silent-no-op construction: a concrete nonzero
+    ``guidance_rescale`` with the static ``rescale`` flag off would never
+    be applied (the gate keeps phi=0 graphs reduction-free — see
+    :func:`rescale_cfg`). Tracer phis are skipped (can't be value-checked
+    at trace time; the runner-level APIs always set the flag)."""
+    phi = guide.guidance_rescale
+    if guide.rescale or isinstance(phi, jax.core.Tracer):
+        return
+    try:
+        nonzero = float(phi) != 0.0
+    except (TypeError, ValueError):
+        return
+    if nonzero:
+        raise ValueError(
+            'guidance_rescale is set but the static rescale flag is off — '
+            'it would silently never apply. Pass rescale=True alongside '
+            'guidance_rescale (runner-level APIs do this automatically).')
+
+
 class SimpleGuidance(struct.PyTreeNode):
     """CFG conditioning: uncond + per-sample cond embeddings.
 
@@ -115,6 +135,9 @@ class SimpleGuidance(struct.PyTreeNode):
     # ``pag_scale·(eps_cond − eps_perturbed)``. Scale is traced.
     pag_scale: Array = 0.0
     pag: bool = struct.field(pytree_node=False, default=False)
+
+    def __post_init__(self):
+        _check_rescale_gate(self)
 
     @property
     def batch_size(self) -> int:
@@ -267,6 +290,9 @@ class InstructPix2PixGuidance(struct.PyTreeNode):
     guidance_rescale: Array = 0.0        # traced phi; gated by `rescale`
     rescale: bool = struct.field(pytree_node=False, default=False)
 
+    def __post_init__(self):
+        _check_rescale_gate(self)
+
     @property
     def batch_size(self) -> int:
         return self.embeddings.shape[0]
@@ -366,6 +392,9 @@ class CompositeGuidance(struct.PyTreeNode):
     # statically gated by `rescale` (see SimpleGuidance note).
     guidance_rescale: Array = 0.0
     rescale: bool = struct.field(pytree_node=False, default=False)
+
+    def __post_init__(self):
+        _check_rescale_gate(self)
 
     @property
     def batch_size(self) -> int:

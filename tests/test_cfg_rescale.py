@@ -59,6 +59,29 @@ def test_simple_guidance_rescale_plumbs():
     np.testing.assert_array_equal(e0, e00)
 
 
+def test_rescale_gate_guard_rejects_silent_noop():
+    """A concrete nonzero phi without the static ``rescale`` flag would
+    silently never apply — construction must reject it (traced phi and
+    the phi=0 default stay allowed)."""
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.normal(size=(1, 77, 16)).astype(np.float32))
+    unc = jnp.asarray(rng.normal(size=(1, 77, 16)).astype(np.float32))
+    g = SimpleGuidance(embeddings=emb, uncond=unc,
+                       guidance_scale=jnp.float32(8.0), cfg=True)
+    with pytest.raises(ValueError, match='rescale'):
+        g.replace(guidance_rescale=jnp.float32(0.7))
+    with pytest.raises(ValueError, match='rescale'):
+        SimpleGuidance(embeddings=emb, uncond=unc,
+                       guidance_scale=jnp.float32(8.0), cfg=True,
+                       guidance_rescale=0.7)
+    # allowed: flag set, phi zero, or phi traced (e.g. under jit)
+    g.replace(rescale=True, guidance_rescale=jnp.float32(0.7))
+    g.replace(guidance_rescale=jnp.float32(0.0))
+    jax.jit(lambda gd: gd.noise_pred(
+        lambda lat, t, ctx, added=None, ip=None, tcond=None: lat,
+        jnp.zeros((1, 8, 8, 4)), jnp.float32(500)))(g)
+
+
 def test_zero_snr_terminal_alpha_bar():
     cfg = SchedulerConfig(rescale_betas_zero_snr=True)
     acp = alphas_cumprod(cfg)

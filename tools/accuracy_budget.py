@@ -166,7 +166,7 @@ def measure(parts) -> dict:
 
 
 def main() -> int:
-    if '--golden' in sys.argv or '--full' not in sys.argv:
+    if '--full' not in sys.argv:
         # Goldens come from the CPU platform — the same one the regression
         # test runs on (tests/conftest.py forces CPU; platform numerics
         # must match for tight bounds). Share the test suite's persistent

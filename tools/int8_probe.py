@@ -43,8 +43,7 @@ def _time_scan(body, init, iters=50, reps=5):
 
 
 def conv_case(b, h, w, c, dtype, dequant=False):
-    k = jnp.ones((3, 3, c, c), dtype) if dtype != jnp.int8 else \
-        jnp.ones((3, 3, c, c), jnp.int8)
+    k = jnp.ones((3, 3, c, c), dtype)
     scale = jnp.full((c,), 0.01, jnp.float32)
 
     def body(x):
@@ -92,8 +91,9 @@ def dot_case(m, kdim, n, dtype, dequant=False):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument('--json', action='store_true')
-    p.parse_args()
+    p.add_argument('--json', action='store_true',
+                   help='print only the final JSON line')
+    args = p.parse_args()
     out = {}
     cases = {
         'conv_320c_64sq': lambda d, dq=False: conv_case(2, 64, 64, 320, d,
@@ -113,7 +113,8 @@ def main():
                      's8_dequant_ms': round(s8dq, 4),
                      'speedup_raw': round(bf / s8, 3),
                      'speedup_dequant': round(bf / s8dq, 3)}
-        print(name, out[name], flush=True)
+        if not args.json:
+            print(name, out[name], flush=True)
     print(json.dumps(out))
 
 
