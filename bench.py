@@ -327,10 +327,13 @@ def main() -> None:
         except Exception as e:
             return {'error': str(e)[:200]}
 
+    # Caps absorb the axon relay's observed latency swings (a subprocess's
+    # platform init + executable loads vary 2-3x across hours); the global
+    # budget, not the caps, bounds the total.
     for key, tool, cap in (
-            ('deepcache', 'bench_deepcache.py', 600),
-            ('cfg_interval', 'cfg_interval_exp.py', 480),
-            ('sdxl', 'bench_sdxl.py', 600),
+            ('deepcache', 'bench_deepcache.py', 900),
+            ('cfg_interval', 'cfg_interval_exp.py', 720),
+            ('sdxl', 'bench_sdxl.py', 720),
             ('lcm_4step', 'bench_lcm.py', 480),
             ('training', 'bench_train.py', 600),
     ):
