@@ -250,10 +250,13 @@ def main() -> None:
     from flexdiffuse_tpu.ops import attention
 
     t_start = time.monotonic()
-    # 40 min default: fits the full warm extra set (~32 min measured) and
-    # still exits well inside the driver's observed kill window (round-3's
-    # ~55-min cold bench survived; round-4's >110-min one did not).
-    budget = float(os.environ.get('BENCH_BUDGET_S', '2400'))
+    # 45 min default: fits the full warm extra set (~35-40 min measured,
+    # incl. relay-latency swings) and still exits inside the driver's
+    # observed kill window (round-3's ~55-min cold bench survived;
+    # round-4's >110-min one did not). The budget bounds total wall time:
+    # extras launch only while it has >60 s left and each is capped by the
+    # time remaining.
+    budget = float(os.environ.get('BENCH_BUDGET_S', '2700'))
 
     with attention.backend('flash'):
         sample, args, length = _build()
@@ -335,7 +338,7 @@ def main() -> None:
             ('cfg_interval', 'cfg_interval_exp.py', 720),
             ('sdxl', 'bench_sdxl.py', 720),
             ('lcm_4step', 'bench_lcm.py', 480),
-            ('training', 'bench_train.py', 600),
+            ('training', 'bench_train.py', 900),
     ):
         record[key] = _sub(tool, cap)
         print(json.dumps(record), flush=True)
