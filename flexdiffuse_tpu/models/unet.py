@@ -590,7 +590,8 @@ def resolve_channel_major(flag) -> bool:
     """``None`` → auto: channel-major transformer interiors on TPU (where
     the relayout economics are measured), standard elsewhere."""
     if flag is None:
-        return jax.default_backend() == 'tpu'
+        from flexdiffuse_tpu.utils.params import target_platform
+        return target_platform() == 'tpu'
     return bool(flag)
 
 
@@ -599,7 +600,8 @@ def resolve_approx_gelu(flag, dtype) -> bool:
     absolute — about one bf16 ulp of unit-scale activations; ~1 ms/step of VPU erf time
     at SD-1.4 512², docs/PERFORMANCE.md), exact erf for fp32 / off-TPU."""
     if flag is None:
-        return dtype == jnp.bfloat16 and jax.default_backend() == 'tpu'
+        from flexdiffuse_tpu.utils.params import target_platform
+        return dtype == jnp.bfloat16 and target_platform() == 'tpu'
     return bool(flag)
 
 

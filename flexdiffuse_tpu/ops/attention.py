@@ -78,6 +78,14 @@ def sp_context(mesh, axis: str, min_seq: int = 4096):
         _SP.reset(token)
 
 
+def _target_platform() -> str:
+    """See :func:`flexdiffuse_tpu.utils.params.target_platform` — honours
+    a ``jax.default_device(...)`` scope so 'auto' never routes the Pallas
+    kernel to a CPU compile on a TPU-attached process."""
+    from flexdiffuse_tpu.utils.params import target_platform
+    return target_platform()
+
+
 def xla_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
     """Reference attention: softmax in fp32, inputs any dtype.
 
@@ -128,7 +136,7 @@ def attention(q: Array, k: Array, v: Array,
     eligible = big and divisible and narrow
     if backend == 'auto':
         backend = ('flash'
-                   if jax.default_backend() == 'tpu' and eligible else 'xla')
+                   if _target_platform() == 'tpu' and eligible else 'xla')
     elif backend == 'flash' and not eligible:
         # Forced flash still falls back for ineligible shapes (e.g.
         # cross-attention kv=77): nothing to stream there.
@@ -183,7 +191,7 @@ def attention_cm(q: Array, k: Array, v: Array,
     eligible = big and divisible and narrow
     if backend == 'auto':
         backend = ('flash'
-                   if jax.default_backend() == 'tpu' and eligible else 'xla')
+                   if _target_platform() == 'tpu' and eligible else 'xla')
     elif backend == 'flash' and not eligible:
         backend = 'xla'
     if backend == 'flash':

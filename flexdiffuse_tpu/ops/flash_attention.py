@@ -30,6 +30,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
+
+def _interpret() -> bool:
+    """Pallas interpret mode off-TPU; honours a jax.default_device scope
+    (utils/params.py target_platform) so a CPU-scoped compile on a
+    TPU-attached process interprets instead of crashing."""
+    from flexdiffuse_tpu.utils.params import target_platform
+    return target_platform() != 'tpu'
+
 NEG_INF = -1e30
 
 
@@ -183,7 +191,7 @@ def flash_attention_tt(q: Array, k: Array, v: Array, scale: float,
         raise ValueError(f'sequence ({sq}, {skv}) not divisible by blocks '
                          f'({block_q}, {block_k})')
     if interpret is None:
-        interpret = jax.default_backend() != 'tpu'
+        interpret = _interpret()
 
     qf = q.reshape(b * h, d, sq)
     kf = k.reshape(b * h, d, skv)
@@ -240,7 +248,7 @@ def flash_attention_cm(q: Array, k: Array, v: Array, scale: float,
         raise ValueError(f'sequence ({sq}, {skv}) not divisible by blocks '
                          f'({block_q}, {block_k})')
     if interpret is None:
-        interpret = jax.default_backend() != 'tpu'
+        interpret = _interpret()
 
     qf = q.reshape(h, d, b * sq)
     kf = k.reshape(h, d, b * skv)
@@ -312,7 +320,7 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float,
         raise ValueError(f'sequence ({sq}, {skv}) not divisible by blocks '
                          f'({block_q}, {block_k})')
     if interpret is None:
-        interpret = jax.default_backend() != 'tpu'
+        interpret = _interpret()
 
     # Resident-K/V cutoff. In the transposed (tt) layout the K/V working set
     # scales with the true head dim rounded to a sublane (not 128 padded

@@ -47,6 +47,14 @@ from flexdiffuse_tpu.ops.flash_attention import (_FULL_KV_VMEM_BYTES, LOG2E,
 Array = jax.Array
 
 
+def _interpret() -> bool:
+    """Pallas interpret mode off-TPU; honours a jax.default_device scope
+    (utils/params.py target_platform) so a CPU-scoped compile on a
+    TPU-attached process interprets instead of crashing."""
+    from flexdiffuse_tpu.utils.params import target_platform
+    return target_platform() != 'tpu'
+
+
 # ---------------------------------------------------------------------------
 # Forward with lse output (the VJP's fwd pass)
 
@@ -99,7 +107,7 @@ def _tt_forward_lse(q: Array, k: Array, v: Array, scale: float,
     while block_k > 128 and skv % block_k:
         block_k //= 2
     if interpret is None:
-        interpret = jax.default_backend() != 'tpu'
+        interpret = _interpret()
     qf = q.reshape(b * h, d, sq)
     kf = k.reshape(b * h, d, skv)
     vf = v.reshape(b * h, d, skv)
@@ -211,7 +219,7 @@ def _tt_backward(q: Array, k: Array, v: Array, o: Array, lse: Array,
     while block_k > 128 and skv % block_k:
         block_k //= 2
     if interpret is None:
-        interpret = jax.default_backend() != 'tpu'
+        interpret = _interpret()
     qf = q.reshape(b * h, d, sq)
     kf = k.reshape(b * h, d, skv)
     vf = v.reshape(b * h, d, skv)

@@ -28,11 +28,23 @@ import jax.numpy as jnp
 TPU_COMPILER_OPTIONS = {'xla_tpu_scoped_vmem_limit_kib': '65536'}
 
 
+def target_platform() -> str:
+    """Platform the computation will actually run on: honours a
+    ``jax.default_device(...)`` scope — on a TPU-attached process,
+    ``jax.default_backend()`` still reports 'tpu' inside such a scope,
+    which would route Pallas kernels and TPU-only compiler flags to a
+    CPU compile (validate_reference's CPU fp32 cross-check)."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform
+    return jax.default_backend()
+
+
 def product_compiler_options():
     """Compiler options for product jits — TPU only (other backends reject
     TPU flags)."""
     return (TPU_COMPILER_OPTIONS
-            if jax.default_backend() == 'tpu' else None)
+            if target_platform() == 'tpu' else None)
 
 
 def cast_matmul_params(tree, dtype=jnp.bfloat16):

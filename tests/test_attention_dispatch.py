@@ -130,3 +130,23 @@ def test_prk_img2img_rejected():
     init = np.zeros((1, 32, 32, 3), np.float32)
     with pytest.raises(NotImplementedError, match='PRK'):
         pipe(g, steps=4, init_image=init, strength=0.5)
+
+
+def test_target_platform_honours_default_device_scope(monkeypatch):
+    """On a TPU-attached process, ``jax.default_backend()`` still reports
+    'tpu' inside a ``jax.default_device(cpu)`` scope — the platform the
+    computation actually runs on must win, or 'auto' routes the Pallas
+    kernel (and TPU-only compiler flags) into a CPU compile
+    (validate_reference's CPU fp32 cross-check crashed exactly this way)."""
+    import jax
+
+    from flexdiffuse_tpu.utils import params as P
+
+    # Simulate the TPU-attached host: default_backend lies 'tpu'.
+    monkeypatch.setattr(P.jax, 'default_backend', lambda: 'tpu')
+    assert P.target_platform() == 'tpu'
+    assert P.product_compiler_options() == P.TPU_COMPILER_OPTIONS
+    with jax.default_device(jax.devices('cpu')[0]):
+        assert P.target_platform() == 'cpu'
+        assert P.product_compiler_options() is None
+    assert P.target_platform() == 'tpu'
